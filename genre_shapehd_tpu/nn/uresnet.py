@@ -67,7 +67,11 @@ class MinmaxHead(nn.Module):
 
         x = nn.Conv(512, (2, 2), strides=2, padding=0, use_bias=True,
                     kernel_init=kaiming_normal, dtype=self.dtype)(x)
-        x = nn.Conv(512, (4, 4), strides=1, padding=0, use_bias=True,
+        # second conv collapses the remaining spatial extent (4x4 at the
+        # reference's 256^2 input); sized from the bottleneck so reduced
+        # resolutions stage too
+        k = x.shape[1]
+        x = nn.Conv(512, (k, k), strides=1, padding=0, use_bias=True,
                     kernel_init=kaiming_normal, dtype=self.dtype)(x)
         x = x.reshape(x.shape[0], -1)
         x = nn.relu(bn(nn.Dense(256, kernel_init=kaiming_normal,

@@ -1,0 +1,161 @@
+"""Training loop: jitted steps over a device mesh + callback bus.
+
+Rebuild of the reference's ``NetInterface.train_epoch``
+(/root/reference/models/netinterface.py:157-287) with the TPU execution
+model: the model's ``train_step``/``eval_step`` are jitted once with the
+state replicated and the batch sharded over the mesh's data-parallel axis;
+per-batch metrics come back as device scalars and are synced once per
+batch for logging (matching the reference's logging granularity, but with
+all compute in one fused program).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..core.checkpoint import (load_checkpoint, resume_path, save_checkpoint)
+from ..parallel import mesh as pmesh
+from .loggers import ComposeLogger, LogCumulator
+from .state import (reference_payload_to_state, state_to_reference_payload)
+
+
+class Trainer:
+    def __init__(self, model, opt, logger: Optional[ComposeLogger] = None,
+                 mesh=None):
+        self.model = model
+        self.opt = opt
+        self.logger = logger or ComposeLogger([])
+        self.cumulator = LogCumulator()
+        self.logger.add_logger(self.cumulator)
+        self.mesh = mesh or pmesh.make_mesh()
+        self.state = None
+        self.start_epoch = 0
+        self.initial_loss_eval = float("inf")
+
+        rep = pmesh.replicated(self.mesh)
+        shard = pmesh.batch_sharding(self.mesh)
+        # batch leaves are arrays (sharded); rng + state replicated
+        self._train_step = jax.jit(
+            model.train_step,
+            in_shardings=(rep, shard, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(
+            model.eval_step,
+            in_shardings=(rep, shard, rep),
+            out_shardings=(rep, rep),
+        )
+
+    # ------------------------------------------------------------ state io
+    def initialize(self, rng: jax.Array):
+        self.state = pmesh.replicate_state(self.model.init_state(rng),
+                                           self.mesh)
+        return self.state
+
+    def save(self, path: str, epoch: int, loss_eval: Optional[float] = None):
+        payload = state_to_reference_payload(
+            self.state, self.model.net_names, self.model.optimizer_names,
+            epoch, loss_eval if loss_eval is not None
+            else self.initial_loss_eval)
+        save_checkpoint(path, payload)
+
+    def load(self, path: str):
+        payload = load_checkpoint(path)
+        self.state = pmesh.replicate_state(
+            reference_payload_to_state(payload, self.state), self.mesh)
+        self.start_epoch = int(payload.get("epoch", 0))
+        self.initial_loss_eval = float(payload.get("loss_eval", np.inf))
+        return payload
+
+    def maybe_resume(self, logdir: str, resume: int):
+        path = resume_path(logdir, resume)
+        if path is None:
+            return None
+        if not os.path.isfile(path):
+            raise FileNotFoundError(f"resume checkpoint not found: {path}")
+        return self.load(path)
+
+    # ------------------------------------------------------------- batches
+    def _device_batch(self, batch: Dict):
+        arrays = {k: v for k, v in batch.items()
+                  if isinstance(v, np.ndarray)}
+        rest = {k: v for k, v in batch.items()
+                if not isinstance(v, np.ndarray)}
+        return pmesh.shard_batch(arrays, self.mesh), rest
+
+    def train_epoch_pair(self, epoch: int, train_iter, eval_loader,
+                         steps_per_epoch: int, eval_batches: int,
+                         rng: jax.Array) -> Dict[str, float]:
+        """One train phase + one eval phase (netinterface.py:282-285)."""
+        log = self._run_phase(epoch, train_iter, steps_per_epoch, rng,
+                              training=True)
+        if eval_batches:
+            log = self._run_phase(epoch, iter(eval_loader), eval_batches,
+                                  rng, training=False)
+        return log
+
+    def _run_phase(self, epoch: int, data_iter, steps: int, rng: jax.Array,
+                   training: bool) -> Dict[str, float]:
+        logger = self.logger
+        logger.train() if training else logger.eval()
+        logger.on_epoch_begin(epoch)
+        t_end = time.time()
+        eval_pred = None
+        for i in range(steps):
+            batch = next(data_iter)
+            data_time = time.time() - t_end
+            logger.on_batch_begin(i)
+            dev_batch, rest = self._device_batch(batch)
+            step_rng = jax.random.fold_in(rng, epoch * 1_000_003 + i
+                                          + (0 if training else 500_000))
+            if training:
+                self.state, metrics = self._train_step(
+                    self.state, dev_batch, step_rng)
+            else:
+                metrics, eval_pred = self._eval_step(
+                    self.state, dev_batch, step_rng)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            batch_time = time.time() - t_end
+            size = next(iter(dev_batch.values())).shape[0] \
+                if dev_batch else self.opt.batch_size
+            batch_log = {"size": size, **metrics}
+            if getattr(self.opt, "log_time", False):
+                batch_log["batch_time"] = batch_time
+                batch_log["data_time"] = data_time
+            logger.on_batch_end(i, batch_log)
+            t_end = time.time()
+        epoch_log = self.cumulator.get_epoch_log()
+        logger.on_epoch_end(epoch, epoch_log)
+        self._last_eval_pred = eval_pred
+        return epoch_log
+
+    # --------------------------------------------------------------- train
+    def fit(self, train_loader, eval_loader, epochs: int,
+            steps_per_epoch: int, eval_batches: int,
+            rng: jax.Array, eval_at_start: bool = False):
+        from ..data.loader import InfiniteLoader
+
+        self.logger.set_params({
+            "epoch": epochs,
+            "steps_per_epoch": steps_per_epoch,
+            "steps_per_eval": eval_batches,
+            "metrics": self.model.metrics,
+        })
+        self.logger.on_train_begin()
+        if eval_at_start:
+            self._run_phase(self.start_epoch, iter(eval_loader),
+                            eval_batches, rng, training=False)
+        train_iter = InfiniteLoader(train_loader)
+        last = {}
+        for epoch in range(self.start_epoch + 1, epochs + 1):
+            last = self.train_epoch_pair(
+                epoch, train_iter, eval_loader, steps_per_epoch,
+                eval_batches, rng)
+        self.logger.on_train_end()
+        return last
