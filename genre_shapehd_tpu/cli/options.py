@@ -81,7 +81,8 @@ def add_general_arguments(parser: argparse.ArgumentParser) -> Set[str]:
     parser.add_argument("--vox_res", type=int, default=128)
     parser.add_argument("--sph_res", type=int, default=128)
     parser.add_argument("--z_res", type=int, default=256)
-    parser.add_argument("--padding_margin", type=int, default=16)
+    # NOTE: --padding_margin belongs to the GenRe models' add_arguments
+    # (depth_pred_with_sph_inpaint.py:23-24), not the general options
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=("float32", "bfloat16"),
                         help="compute dtype for network forward passes")

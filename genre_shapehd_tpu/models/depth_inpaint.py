@@ -1,0 +1,225 @@
+"""GenRe stage 2: depth prediction + spherical-map inpainting.
+
+TPU-native rebuild of /root/reference/models/depth_pred_with_sph_inpaint.py.
+Pipeline inside ONE jitted step (the reference crosses CUDA-extension
+boundaries three times):
+
+  rgb --net1(U-ResNet+minmax)--> 2.5D + minmax
+      --abs depth, silhouette-masked, to camera frame-->
+      --camera backprojection (ops.camera_bp)--> shifted TDF
+      --differentiable spherical render (ops.render_sph)--> partial sph map
+      --wrap/replicate pad--> net2 (inpainting U-ResNet) --> full sph map
+
+Loss: MSE on the full spherical map (+ marrnet1 losses when
+--joint_train); net1 is frozen via stop_gradient otherwise
+(depth_pred_with_sph_inpaint.py:113-121).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import flax.linen as fnn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import ops
+from ..nn import UResNet
+from ..train.state import ModelState
+from .marrnet1 import Model as DepthModel
+
+
+class DepthInpaintNet(fnn.Module):
+    """net1 + net2 + the geometry chain between them."""
+    im_size: int = 256
+    vox_res: int = 128
+    sph_res: int = 128
+    z_res: int = 256
+    padding_margin: int = 16
+    joint_train: bool = False
+    load_offline: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.net1 = UResNet(out_planes=(3, 1, 1),
+                            layer_names=("normal", "depth", "silhou"),
+                            pred_depth_minmax=True, dtype=self.dtype)
+        self.net2 = UResNet(out_planes=(1,), layer_names=("spherical",),
+                            inpainting=True, dtype=self.dtype)
+
+    def get_abs_depth(self, out1, silhou_in):
+        """depth_pred_with_sph_inpaint.py:133-142."""
+        pred_depth = out1["depth"].astype(jnp.float32) / 100.0
+        minmax = jax.lax.stop_gradient(out1["depth_minmax"]).astype(jnp.float32)
+        abs_depth = DepthModel.to_abs_depth(1.0 - pred_depth, minmax)
+        silhou = jax.lax.stop_gradient(silhou_in) / 100.0
+        abs_depth = jnp.where(silhou < 0.5, 0.0, abs_depth)
+        return ops.coords.depth_image_to_cambp_frame(abs_depth[..., 0])
+
+    def __call__(self, rgb, silhou, train: bool,
+                 spherical_depth=None) -> Dict[str, jnp.ndarray]:
+        out1 = self.net1(rgb, train=train and self.joint_train)
+        if not self.joint_train:
+            out1 = jax.tree.map(jax.lax.stop_gradient, out1)
+        abs_depth = self.get_abs_depth(out1, silhou)
+        proj = ops.camera_backproject_shifted(
+            abs_depth, ops.FL_GENRE, ops.CAM_DIST, self.vox_res)
+        if self.load_offline and spherical_depth is not None:
+            sph_in = spherical_depth[..., 0]
+        else:
+            sph_in = ops.render_spherical(
+                jnp.clip(proj * 50.0, 1e-5, 1.0 - 1e-5),
+                self.sph_res, self.z_res)
+        sph_in = ops.sph_pad(sph_in[..., None], self.padding_margin)
+        out2 = self.net2(sph_in.astype(self.dtype), train=train)
+        out1["proj_depth"] = proj * 50.0
+        out1["pred_sph_partial"] = sph_in
+        out1["pred_sph_full"] = out2["spherical"]
+        return out1
+
+
+class Model(DepthModel):
+    @classmethod
+    def add_arguments(cls, parser):
+        parser.add_argument("--pred_depth_minmax", action="store_true",
+                            default=True,
+                            help="GenRe needs minmax prediction")
+        parser.add_argument("--load_offline", action="store_true",
+                            help="use precomputed spherical depth input")
+        parser.add_argument("--joint_train", action="store_true",
+                            help="jointly train net1 and net2")
+        parser.add_argument("--net1_path", default=None, type=str,
+                            help="pretrained net1 checkpoint")
+        parser.add_argument("--padding_margin", default=16, type=int)
+        return parser, {"joint_train"}
+
+    def __init__(self, opt):
+        opt.pred_depth_minmax = True
+        super().__init__(opt)
+        self.joint_train = bool(getattr(opt, "joint_train", False))
+        if self.joint_train:
+            self.requires = ["rgb", "depth", "silhou", "normal",
+                             "depth_minmax", "spherical"]
+            self.gt_names = ["depth", "silhou", "normal", "depth_minmax",
+                             "spherical_object"]
+            self.metrics = ["loss", "depth", "silhou", "normal",
+                            "depth_minmax", "spherical"]
+        else:
+            self.requires = ["silhou", "rgb", "spherical"]
+            self.gt_names = ["spherical_object"]
+            self.metrics = ["loss", "spherical"]
+        self.input_names = ["rgb", "silhou", "spherical_depth"]
+        self.net = DepthInpaintNet(
+            im_size=opt.im_size, vox_res=opt.vox_res, sph_res=opt.sph_res,
+            z_res=opt.z_res, padding_margin=opt.padding_margin,
+            joint_train=self.joint_train,
+            load_offline=bool(getattr(opt, "load_offline", False)),
+            dtype=self.dtype)
+        self.tx = self.adam()
+
+    def init_state(self, rng):
+        s = self.opt.im_size
+        rgb = jnp.zeros((1, s, s, 3))
+        sil = jnp.zeros((1, s, s, 1))
+        variables = self.net.init(rng, rgb, sil, train=False)
+        params = variables["params"]
+        state = ModelState(
+            params={"net": params},
+            batch_stats={"net": variables.get("batch_stats", {})},
+            opt_state={"net": self.tx.init(params)},
+            step=jnp.zeros((), jnp.int32),
+        )
+        if getattr(self.opt, "net1_path", None):
+            state = self.load_subnet(state, "net1", self.opt.net1_path)
+        return state
+
+    def load_subnet(self, state: ModelState, sub: str, path: str,
+                    src_index: int = 0) -> ModelState:
+        """Load a pretrained sub-network (e.g. net1) from a checkpoint
+        (depth_pred_with_sph_inpaint.py:109-111)."""
+        from ..core.checkpoint import load_checkpoint
+        payload = load_checkpoint(path)
+        src = payload["nets"][src_index]
+        params = dict(state.params["net"]);  params[sub] = src["params"]["net"] \
+            if "net" in src["params"] else src["params"]
+        stats = dict(state.batch_stats["net"])
+        src_stats = src.get("batch_stats", {})
+        stats[sub] = src_stats.get("net", src_stats)
+        return state.replace(params={"net": params},
+                             batch_stats={"net": stats})
+
+    # ------------------------------------------------------------- loss
+    def _forward(self, params, batch_stats, batch, train):
+        variables = {"params": params, "batch_stats": batch_stats}
+        kwargs = {}
+        if self.net.load_offline:
+            kwargs["spherical_depth"] = batch.get("spherical_depth")
+        if train:
+            pred, mut = self.net.apply(
+                variables, batch["rgb"], batch["silhou"], train=True,
+                mutable=["batch_stats"], **kwargs)
+            return pred, mut["batch_stats"]
+        return self.net.apply(variables, batch["rgb"], batch["silhou"],
+                              train=False, **kwargs), batch_stats
+
+    def compute_loss(self, pred, batch) -> Tuple[jnp.ndarray, Dict]:
+        loss, loss_data = (super().compute_loss(pred, batch)
+                           if self.joint_train else (0.0, {}))
+        sph_loss = jnp.mean(
+            (pred["pred_sph_full"] - batch["spherical_object"]) ** 2)
+        loss = loss + sph_loss
+        loss_data["spherical"] = sph_loss
+        loss_data["loss"] = loss
+        return loss, loss_data
+
+    def _loss(self, params, batch_stats, batch, train):
+        pred, new_stats = self._forward(params, batch_stats, batch, train)
+        loss, loss_data = self.compute_loss(pred, batch)
+        return loss, (loss_data, new_stats, pred)
+
+    def train_step(self, state, batch, rng):
+        grad_fn = jax.value_and_grad(self._loss, has_aux=True)
+        (_, (loss_data, new_stats, _)), grads = grad_fn(
+            state.params["net"], state.batch_stats["net"], batch, True)
+        updates, new_opt = self.tx.update(
+            grads, state.opt_state["net"], state.params["net"])
+        new_params = optax.apply_updates(state.params["net"], updates)
+        return state.replace(
+            params={"net": new_params}, batch_stats={"net": new_stats},
+            opt_state={"net": new_opt}, step=state.step + 1), loss_data
+
+    def eval_step(self, state, batch, rng):
+        _, (loss_data, _, pred) = self._loss(
+            state.params["net"], state.batch_stats["net"], batch, False)
+        return loss_data, pred
+
+    # ------------------------------------------------------------ data
+    def preprocess(self, data, mode="train"):
+        """Adds wrap/edge padding of the GT spherical map
+        (depth_pred_with_sph_inpaint.py:82-92); spherical arrays are stored
+        channel-last (H+2m, W+2m, 1)."""
+        out = super().preprocess(data, mode)
+        if "spherical_object" in out:
+            val = np.asarray(out["spherical_object"])          # (1, R, R)
+            assert val.shape[1] == val.shape[2]
+            padded = ops.sph_pad_numpy(val, self.opt.padding_margin)
+            out["spherical_object"] = np.moveaxis(
+                padded, 0, -1).astype(np.float32)
+        if "spherical_depth" in out:
+            out["spherical_depth"] = np.moveaxis(
+                np.asarray(out["spherical_depth"]), 0, -1).astype(np.float32)
+        return out
+
+    def pack_output(self, pred, batch, add_gt=True):
+        pack = {}
+        if self.joint_train:
+            pack = super().pack_output(pred, batch, add_gt=False)
+        pack["pred_spherical_full"] = np.asarray(pred["pred_sph_full"])
+        pack["pred_spherical_partial"] = np.asarray(pred["pred_sph_partial"])
+        pack["proj_depth"] = np.asarray(pred["proj_depth"])
+        pack["rgb_path"] = batch.get("rgb_path")
+        if add_gt and "spherical_object" in batch:
+            pack["gt_spherical_full"] = np.asarray(batch["spherical_object"])
+        return pack

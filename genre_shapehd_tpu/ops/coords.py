@@ -49,6 +49,14 @@ def gt_voxel_to_train_frame(vox_xyz: jnp.ndarray) -> jnp.ndarray:
     return jnp.flip(out, axis=-1)
 
 
+def train_frame_to_gt_voxel(vox_xyz: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`gt_voxel_to_train_frame`: flip the last axis, then
+    swap the last two axes -- returns predictions to the dataset's original
+    voxel orientation for saving/eval."""
+    out = jnp.flip(vox_xyz, axis=-1)
+    return jnp.swapaxes(out, -2, -1)
+
+
 def voxel_swap_yz_flip_y(vox_nxyz: jnp.ndarray) -> jnp.ndarray:
     """``torch.transpose(v, 3, 4)`` then ``torch.flip(v, [3])`` on (N,C,X,Y,Z).
 

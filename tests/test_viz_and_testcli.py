@@ -1,0 +1,116 @@
+"""Tests for native iso-surface, visualizer, glob test dataset, test CLI."""
+
+import os
+
+import numpy as np
+import pytest
+
+from genre_shapehd_tpu.data import preprocess as pp
+from genre_shapehd_tpu.viz import marching_cubes, save_iso_obj, Visualizer
+
+
+def test_marching_cubes_sphere_accuracy():
+    n = 48
+    g = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    c = (n - 1) / 2
+    vol = 15.0 - np.sqrt(((g - c) ** 2).sum(0))
+    verts, faces = marching_cubes(vol, 0.0)
+    assert len(verts) > 0 and len(faces) > 0
+    r = np.linalg.norm(verts - c, axis=1)
+    np.testing.assert_allclose(r.mean(), 15.0, atol=0.05)
+    assert r.std() < 0.05
+    assert faces.max() < len(verts)
+
+
+def test_save_iso_obj_writes_valid_obj(tmp_path):
+    vol = np.zeros((16, 16, 16), np.float32)
+    vol[4:12, 4:12, 4:12] = 1.0
+    path = str(tmp_path / "cube.obj")
+    save_iso_obj(vol, path, 0.5)
+    lines = open(path).read().strip().splitlines()
+    vs = [l for l in lines if l.startswith("v ")]
+    fs = [l for l in lines if l.startswith("f ")]
+    assert len(vs) > 0 and len(fs) > 0
+    # verts shifted into [-0.5, 0.5]
+    coords = np.array([[float(x) for x in l.split()[1:]] for l in vs])
+    assert coords.min() >= -0.5 - 1e-5 and coords.max() <= 0.5 + 1e-5
+
+
+def test_save_iso_obj_out_of_range_threshold(tmp_path):
+    """Reference clamps the field so an iso level always exists
+    (visualizer.py:154-158)."""
+    vol = np.zeros((8, 8, 8), np.float32)
+    path = str(tmp_path / "flat.obj")
+    save_iso_obj(vol, path, 0.25)        # th > max -> forced crossing
+    assert os.path.getsize(path) > 0
+
+
+def test_visualizer_writes_channels(tmp_path):
+    viz = Visualizer(n_workers=0)        # synchronous
+    pack = {
+        "rgb": np.random.rand(2, 16, 16, 3).astype(np.float32),
+        "pred_voxel": np.random.randn(2, 16, 16, 16).astype(np.float32),
+        "pred_spherical_full": np.random.rand(2, 16, 16, 1).astype(np.float32),
+        "pred_depth_minmax": np.random.rand(2, 2).astype(np.float32),
+        "rgb_path": ["a", "b"],          # nonexistent paths skipped
+    }
+    out = str(tmp_path)
+    viz.visualize(pack, batch_idx=0, outdir=out)
+    files = sorted(os.listdir(out))
+    assert any(f.endswith("_rgb.png") for f in files)
+    assert any(f.endswith("_pred_voxel.obj") for f in files)
+    assert any(f.endswith("_pred_spherical_full.png") for f in files)
+    assert any(f.endswith("_pred_depth_minmax.txt") for f in files)
+
+
+def test_bbox_and_crop_roundtrip():
+    mask = np.zeros((100, 120), np.float64)
+    mask[30:70, 40:90] = 1.0
+    bbox = pp.get_bbox(mask, th=0.5)
+    assert bbox == [40, 30, 89, 69]
+    im = np.random.rand(100, 120, 3)
+    crop = pp.crop(im, bbox, 64, 8, pad_zero=False)
+    assert crop.shape == (64, 64, 3)
+
+
+def test_glob_testset_with_fixtures(tmp_path):
+    """Drive the glob dataset with generated photo+mask fixtures."""
+    from types import SimpleNamespace
+    from genre_shapehd_tpu.data.testset import Dataset
+    from genre_shapehd_tpu.core.registry import get_model
+    from genre_shapehd_tpu.models.base import default_opt
+    from genre_shapehd_tpu.core.checkpoint import save_checkpoint
+    import jax
+
+    rgb = np.random.rand(120, 140, 3)
+    mask = np.zeros((120, 140), np.float64)
+    mask[40:90, 50:100] = 1.0
+    pp.imwrite_rgb(str(tmp_path / "photo1_rgb.png"), rgb)
+    pp.imwrite_rgb(str(tmp_path / "photo1_mask.png"), mask)
+
+    # train a zero-epoch marrnet model to get a checkpoint
+    opt = default_opt(im_size=64, vox_res=32, canon_sup=False)
+    m = get_model("marrnet")(opt)
+    s = m.init_state(jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "net.pt")
+    save_checkpoint(ckpt, {
+        "nets": [{"params": s.params["net"],
+                  "batch_stats": s.batch_stats["net"]}],
+        "optimizers": [s.opt_state["net"]], "epoch": 0, "loss_eval": 1.0})
+
+    test_opt = default_opt(
+        im_size=64, vox_res=32, canon_sup=False, net_file=ckpt,
+        output_dir=str(tmp_path / "out"), vis_workers=0,
+        input_rgb=str(tmp_path / "*_rgb.png"),
+        input_mask=str(tmp_path / "*_mask.png"))
+    mt = get_model("marrnet", test=True)(test_opt)
+    ds = Dataset(test_opt, model=mt)
+    assert len(ds) == 1
+    sample = ds[0]
+    assert sample["rgb"].shape == (64, 64, 3)
+
+    from genre_shapehd_tpu.data.loader import collate
+    batch = collate([sample])
+    out = mt.test_on_batch(0, batch)
+    assert "pred_voxel" in out
+    assert os.path.isfile(str(tmp_path / "out" / "batch0000.npz"))
