@@ -1,4 +1,4 @@
-"""Benchmark: single-view reconstruction throughput on one TPU chip.
+"""Benchmark: full-GenRe single-view reconstruction throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -7,11 +7,12 @@ naive dispatch loops over-report by >10x.  We time an in-graph
 ``lax.fori_loop`` whose every iteration feeds the next (serial data
 dependency), warm up once, and take the median of 3 trials.
 
-The headline metric is single-view reconstructions/sec/chip through the
-flagship inference path at reference scale (256^2 RGB, bf16 compute).
-The reference publishes no throughput (BASELINE.md); vs_baseline uses a
-conservative 10 recon/s estimate for the reference pipeline on its
-CUDA-9-era GPU.
+Headline metric: full GenRe reconstructions (256^2 RGB+mask -> 128^3
+voxels, including camera backprojection, differentiable spherical
+rendering, inpainting and 3D U-Net refinement) per second per chip, bf16
+compute.  The reference publishes no throughput (BASELINE.md);
+vs_baseline uses a conservative 10 recon/s estimate for the reference
+pipeline on its CUDA-9-era GPU.
 """
 
 import json
@@ -22,47 +23,52 @@ import time
 sys.path.insert(0, ".")
 
 REFERENCE_RECONS_PER_SEC = 10.0   # conservative GPU-baseline estimate
-BATCH = 32
-N_ITER = 20
+BATCH = 4
+N_ITER = 8
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    from genre_shapehd_tpu.core.cache import enable_compile_cache
     from genre_shapehd_tpu.core.registry import get_model
     from genre_shapehd_tpu.models.base import default_opt
 
-    opt = default_opt(im_size=256, vox_res=128, dtype="bfloat16",
-                      batch_size=BATCH)
-    model = get_model("marrnet1")(opt)
+    enable_compile_cache()
+    opt = default_opt(im_size=256, vox_res=128, sph_res=128, z_res=256,
+                      padding_margin=16, dtype="bfloat16", batch_size=BATCH)
+    model = get_model("genre_full_model")(opt)
     state = model.init_state(jax.random.PRNGKey(0))
     params, bstats = state.params["net"], state.batch_stats["net"]
 
     @jax.jit
-    def chained(params, bstats, rgb):
+    def chained(params, bstats, rgb, silhou):
         def body(i, carry):
             rgb, acc = carry
-            out = model.net.apply({"params": params, "batch_stats": bstats},
-                                  rgb, train=False)
-            delta = jnp.mean(out["silhou"].astype(jnp.float32))
-            return (rgb + delta * 1e-9, acc + delta)
-        _, acc = jax.lax.fori_loop(0, N_ITER, body, (rgb, jnp.float32(0)))
+            out = model.net.apply(
+                {"params": params, "batch_stats": bstats}, rgb, silhou,
+                train=False)
+            delta = jnp.mean(out["pred_voxel"].astype(jnp.float32)) * 1e-3
+            return (rgb + delta * 1e-6, acc + delta)
+        _, acc = jax.lax.fori_loop(0, N_ITER, body,
+                                   (rgb, jnp.float32(0)))
         return acc
 
     rgb = jax.random.normal(jax.random.PRNGKey(0), (BATCH, 256, 256, 3))
-    jax.block_until_ready(chained(params, bstats, rgb))   # compile + warm
+    silhou = 100.0 * jnp.ones((BATCH, 256, 256, 1))
+    jax.block_until_ready(chained(params, bstats, rgb, silhou))
 
     rates = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(chained(params, bstats, rgb))
+        jax.block_until_ready(chained(params, bstats, rgb, silhou))
         rates.append(BATCH * N_ITER / (time.perf_counter() - t0))
     recon_per_sec = statistics.median(rates)
 
     print(json.dumps({
-        "metric": "marrnet1_recon_per_sec_per_chip",
+        "metric": "genre_full_recon_per_sec_per_chip",
         "value": round(recon_per_sec, 2),
-        "unit": "images/s",
+        "unit": "reconstructions/s",
         "vs_baseline": round(recon_per_sec / REFERENCE_RECONS_PER_SEC, 2),
     }))
 

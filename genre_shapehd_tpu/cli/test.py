@@ -25,6 +25,9 @@ from . import options
 def main(argv=None) -> int:
     opt, _ = options.parse_test(argv)
 
+    from ..core.cache import enable_compile_cache
+    enable_compile_cache()
+
     print(str_stage, "Setting up output directory")
     output_dir = opt.output_dir
     output_dir += ("_" + opt.suffix.format(**vars(opt))) if opt.suffix else ""

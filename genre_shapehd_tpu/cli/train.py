@@ -46,6 +46,9 @@ def make_logdir(opt) -> str:
 def main(argv=None) -> int:
     opt, unique_params = options.parse_train(argv)
 
+    from ..core.cache import enable_compile_cache
+    enable_compile_cache()
+
     print(str_stage, "Setting up device + seed")
     if opt.manual_seed is not None:
         np.random.seed(opt.manual_seed)

@@ -16,6 +16,7 @@ from .render_sph import render_spherical
 from .camera_bp import (
     camera_backproject,
     camera_backproject_shifted,
+    get_surface_mask,
     shift_tdf,
     FL_MARRNET,
     FL_GENRE,
@@ -23,6 +24,7 @@ from .camera_bp import (
 )
 from .spherical_bp import spherical_backproject, backproject_spherical_masked
 from .chamfer import nndistance, nndistance_w_idx, nndistance_score
+from .reproj import reprojection_loss
 from . import coords, voxel
 
 __all__ = [
@@ -31,4 +33,5 @@ __all__ = [
     "camera_backproject_shifted", "shift_tdf", "FL_MARRNET", "FL_GENRE",
     "CAM_DIST", "spherical_backproject", "backproject_spherical_masked",
     "nndistance", "nndistance_w_idx", "nndistance_score", "coords", "voxel",
+    "get_surface_mask", "reprojection_loss",
 ]

@@ -96,25 +96,10 @@ def camera_backproject(
     """
     n, h, w = depth.shape
     dt = depth.dtype
-    fl = jnp.broadcast_to(jnp.asarray(fl, dt), (n,))[:, None, None]
-    cam_dist = jnp.broadcast_to(jnp.asarray(cam_dist, dt), (n,))[:, None, None]
-
-    imind_h = (jnp.arange(h, dtype=dt) - (h - 1) / 2.0)[None, :, None]
-    imind_w = (jnp.arange(w, dtype=dt) - (w - 1) / 2.0)[None, None, :]
-
-    cos_theta = fl / jnp.sqrt(imind_h ** 2 + imind_w ** 2 + fl ** 2)
-    d = depth * cos_theta                                  # plane depth
-
-    glob = jnp.stack(
-        [
-            jnp.broadcast_to(d - cam_dist, (n, h, w)),
-            jnp.broadcast_to(-d * imind_w / fl, (n, h, w)),
-            jnp.broadcast_to(-d * imind_h / fl, (n, h, w)),
-        ],
-        axis=-1,
-    ).reshape(n, h * w, 3)
+    fl_b = jnp.broadcast_to(jnp.asarray(fl, dt), (n,))
+    cd_b = jnp.broadcast_to(jnp.asarray(cam_dist, dt), (n,))
+    glob = _camera_glob_coords(depth, fl_b, cd_b)
     valid = (depth >= 0.0).reshape(n, h * w)
-
     tdf, _ = _scatter_mean_tdf(glob, valid, res, background=1.0 / res)
     return tdf
 
@@ -133,3 +118,74 @@ def camera_backproject_shifted(
     """Backproject + shift, mirroring the toolbox layer's default
     (camera_backprojection_module.py:16-24, shift=True)."""
     return shift_tdf(camera_backproject(depth, fl, cam_dist, res), res)
+
+
+def get_surface_mask(
+    depth: jnp.ndarray,
+    fl: Scalar = FL_GENRE,
+    cam_dist: Scalar = CAM_DIST,
+    res: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Visibility / free-space mask from a depth image.
+
+    Rebuild of the cam_bp extension's third op (back_projection_kernel.cu
+    :309-358, exported but unused by the reference models -- kept for
+    capability parity).  Returns:
+      surface_vox: clamp(hit count, 0, 1) -- voxels containing points;
+      mask: 1 everywhere except empty voxels that project inside the image
+        onto a valid (>=0) depth pixel and sit IN FRONT of the observed
+        ray depth (free space carved to 0).
+    """
+    n, h, w = depth.shape
+    dt = depth.dtype
+    fl_b = jnp.broadcast_to(jnp.asarray(fl, dt), (n,))
+    cd_b = jnp.broadcast_to(jnp.asarray(cam_dist, dt), (n,))
+
+    # hit counts from the forward scatter
+    _, cnt = _scatter_mean_tdf(
+        _camera_glob_coords(depth, fl_b, cd_b), (depth >= 0).reshape(n, -1),
+        res, background=1.0 / res)
+    surface_vox = jnp.clip(cnt, 0.0, 1.0)
+
+    # voxel centres -> image plane (kernel.cu:336-353)
+    centre = (jnp.arange(res, dtype=dt) + 0.5) / res - 0.5
+    cx = centre[:, None, None]
+    cy = centre[None, :, None]
+    cz = centre[None, None, :]
+    fl_ = fl_b[:, None, None, None]
+    cd_ = cd_b[:, None, None, None]
+    denom = cx[None] + cd_
+    im_h = -cz[None] * fl_ / denom
+    im_w = -cy[None] * fl_ / denom
+    idh = jnp.round(0.5 * (h - 1.0) + im_h).astype(jnp.int32)
+    idw = jnp.round(0.5 * (w - 1.0) + im_w).astype(jnp.int32)
+    inb = (idh >= 0) & (idh < h) & (idw >= 0) & (idw < w)
+    idh_c = jnp.clip(idh, 0, h - 1)
+    idw_c = jnp.clip(idw, 0, w - 1)
+    flat = (idh_c * w + idw_c).reshape(n, -1)
+    dep = jnp.take_along_axis(depth.reshape(n, -1), flat, axis=1)
+    dep = dep.reshape(n, res, res, res)
+    ray_depth = jnp.sqrt((cx[None] + cd_) ** 2 + cy[None] ** 2
+                         + cz[None] ** 2)
+    carve = (cnt <= 1e-5) & inb & (dep >= 0) & (dep < ray_depth)
+    mask = jnp.where(carve, 0.0, 1.0)
+    return surface_vox, mask
+
+
+def _camera_glob_coords(depth, fl_b, cd_b):
+    """(N,H,W) depth -> (N, H*W, 3) global coords (factored from
+    camera_backproject for reuse by get_surface_mask)."""
+    n, h, w = depth.shape
+    dt = depth.dtype
+    fl = fl_b[:, None, None]
+    cam_dist = cd_b[:, None, None]
+    imind_h = (jnp.arange(h, dtype=dt) - (h - 1) / 2.0)[None, :, None]
+    imind_w = (jnp.arange(w, dtype=dt) - (w - 1) / 2.0)[None, None, :]
+    cos_theta = fl / jnp.sqrt(imind_h ** 2 + imind_w ** 2 + fl ** 2)
+    d = depth * cos_theta
+    return jnp.stack(
+        [jnp.broadcast_to(d - cam_dist, (n, h, w)),
+         jnp.broadcast_to(-d * imind_w / fl, (n, h, w)),
+         jnp.broadcast_to(-d * imind_h / fl, (n, h, w))],
+        axis=-1,
+    ).reshape(n, h * w, 3)
