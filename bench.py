@@ -56,12 +56,14 @@ def main():
 
     rgb = jax.random.normal(jax.random.PRNGKey(0), (BATCH, 256, 256, 3))
     silhou = 100.0 * jnp.ones((BATCH, 256, 256, 1))
-    jax.block_until_ready(chained(params, bstats, rgb, silhou))
+    float(chained(params, bstats, rgb, silhou))   # compile + warm
 
+    # NOTE: block_until_ready is not a reliable completion barrier on the
+    # axon relay -- fetching the VALUE to host is; time through float().
     rates = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(chained(params, bstats, rgb, silhou))
+        float(chained(params, bstats, rgb, silhou))
         rates.append(BATCH * N_ITER / (time.perf_counter() - t0))
     recon_per_sec = statistics.median(rates)
 

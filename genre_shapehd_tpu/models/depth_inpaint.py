@@ -40,6 +40,10 @@ class DepthInpaintNet(fnn.Module):
     padding_margin: int = 16
     joint_train: bool = False
     load_offline: bool = False
+    #: use the gather-based renderer (exact grid_sample semantics) instead
+    #: of the MXU matmul formulation (ops/render_sph_fast.py, ~23x faster
+    #: on TPU with ~1e-3 mean deviation)
+    exact_render: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -69,9 +73,11 @@ class DepthInpaintNet(fnn.Module):
         if self.load_offline and spherical_depth is not None:
             sph_in = spherical_depth[..., 0]
         else:
-            sph_in = ops.render_spherical(
-                jnp.clip(proj * 50.0, 1e-5, 1.0 - 1e-5),
-                self.sph_res, self.z_res)
+            from ..ops.render_sph_fast import render_spherical_fast
+            render = (ops.render_spherical if self.exact_render
+                      else render_spherical_fast)
+            sph_in = render(jnp.clip(proj * 50.0, 1e-5, 1.0 - 1e-5),
+                            self.sph_res, self.z_res)
         sph_in = ops.sph_pad(sph_in[..., None], self.padding_margin)
         out2 = self.net2(sph_in.astype(self.dtype), train=train)
         out1["proj_depth"] = proj * 50.0
@@ -93,6 +99,10 @@ class Model(DepthModel):
         parser.add_argument("--net1_path", default=None, type=str,
                             help="pretrained net1 checkpoint")
         parser.add_argument("--padding_margin", default=16, type=int)
+        parser.add_argument("--exact_render", action="store_true",
+                            help="use the gather-based spherical renderer "
+                                 "(exact grid_sample parity) instead of the "
+                                 "MXU matmul formulation")
         return parser, {"joint_train"}
 
     def __init__(self, opt):
@@ -116,6 +126,7 @@ class Model(DepthModel):
             z_res=opt.z_res, padding_margin=opt.padding_margin,
             joint_train=self.joint_train,
             load_offline=bool(getattr(opt, "load_offline", False)),
+            exact_render=bool(getattr(opt, "exact_render", False)),
             dtype=self.dtype)
         self.tx = self.adam()
 

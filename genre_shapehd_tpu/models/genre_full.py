@@ -38,6 +38,7 @@ class GenreNet(fnn.Module):
     padding_margin: int = 16
     joint_train: bool = False
     load_offline: bool = False
+    exact_render: bool = False
     refine_nf: int = 20
     dtype: jnp.dtype = jnp.float32
 
@@ -46,7 +47,7 @@ class GenreNet(fnn.Module):
             im_size=self.im_size, vox_res=self.vox_res, sph_res=self.sph_res,
             z_res=self.z_res, padding_margin=self.padding_margin,
             joint_train=self.joint_train, load_offline=self.load_offline,
-            dtype=self.dtype)
+            exact_render=self.exact_render, dtype=self.dtype)
         self.refine_net = UNet3D(nf=self.refine_nf, res=self.vox_res,
                                  dtype=self.dtype)
 
@@ -98,6 +99,7 @@ class Model(DepthInpaintModel):
             z_res=opt.z_res, padding_margin=opt.padding_margin,
             joint_train=self.joint_train,
             load_offline=bool(getattr(opt, "load_offline", False)),
+            exact_render=bool(getattr(opt, "exact_render", False)),
             dtype=self.dtype)
         self.tx = self.adam()
 
