@@ -86,6 +86,10 @@ def add_general_arguments(parser: argparse.ArgumentParser) -> Set[str]:
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=("float32", "bfloat16"),
                         help="compute dtype for network forward passes")
+    parser.add_argument("--sp", type=int, default=1,
+                        help="spatial-parallel mesh width: devices form a "
+                             "(n_devices/sp, sp) mesh and large voxel "
+                             "activations shard their Z axis across sp")
     parser.add_argument("--synthetic_length", type=int, default=64,
                         help="samples per epoch for the synthetic dataset")
     return unique_params

@@ -78,7 +78,20 @@ def main(argv=None) -> int:
         loggers.append(TensorBoardLogger(f"{opt.full_logdir}/tensorboard"))
     logger = ComposeLogger(loggers)
 
-    trainer = Trainer(model, opt, logger)
+    from ..viz.visualizer import Visualizer
+    visualizer = Visualizer(n_workers=opt.vis_workers) \
+        if opt.vis_batches_vali > 0 else None
+    mesh = None
+    if getattr(opt, "sp", 1) > 1:
+        from ..parallel.mesh import make_mesh_2d
+        n = len(jax.devices())
+        dp = n // opt.sp
+        if dp * opt.sp != n:
+            print(str_warning, f"--sp {opt.sp} does not divide "
+                  f"{n} devices; using only {dp * opt.sp}")
+        mesh = make_mesh_2d(dp=dp, sp=opt.sp)
+        print(str_verbose, f"mesh: dp={dp} x sp={opt.sp}")
+    trainer = Trainer(model, opt, logger, visualizer=visualizer, mesh=mesh)
     trainer.initialize(rng)
 
     # checkpoint writers (train.py:87-111): latest each epoch, periodic

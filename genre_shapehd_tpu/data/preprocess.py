@@ -116,6 +116,30 @@ def binarize(im: np.ndarray, thres: float, gt_is_1: bool = True) -> np.ndarray:
                                 else np.float64)
 
 
+def depth_to_mesh_df(depth_hw: np.ndarray, minmax, vox_res: int = 128,
+                     cam_dist: float = 2.2) -> np.ndarray:
+    """Host-side depth -> truncated distance field (numpy).
+
+    CPU twin of ops.camera_backproject, mirroring the role of
+    /root/reference/util/util_img.py:53-90 (depth_to_mesh_df), which was
+    the CPU reimplementation of the cam_bp CUDA kernel.  ``depth_hw`` is
+    relative depth in [0, 1] with background 0; ``minmax`` are the
+    absolute (min, max) bounds.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import camera_backproject, coords, FL_GENRE
+
+    depth = np.asarray(depth_hw, np.float32)
+    dmin, dmax = float(minmax[0]), float(minmax[1])
+    mask = depth > 0
+    abs_depth = np.where(mask, (1.0 - depth) * (dmax - dmin + 1e-4) + dmin,
+                         0.0).astype(np.float32)
+    d = coords.depth_image_to_cambp_frame(jnp.asarray(abs_depth)[None])
+    tdf = camera_backproject(d, FL_GENRE, cam_dist, vox_res)
+    return np.asarray(tdf)[0]
+
+
 def get_bbox(mask01: np.ndarray, th: float = 0.95):
     """[tl_w, tl_h, br_w, br_h] of mask > th (util_img.py:421-427)."""
     m = mask01[..., 0] if mask01.ndim == 3 else mask01

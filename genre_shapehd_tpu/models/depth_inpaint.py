@@ -134,7 +134,8 @@ class Model(DepthModel):
         s = self.opt.im_size
         rgb = jnp.zeros((1, s, s, 3))
         sil = jnp.zeros((1, s, s, 1))
-        variables = self.net.init(rng, rgb, sil, train=False)
+        variables = jax.jit(
+            lambda r: self.net.init(r, rgb, sil, train=False))(rng)
         params = variables["params"]
         state = ModelState(
             params={"net": params},

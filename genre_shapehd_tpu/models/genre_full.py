@@ -67,6 +67,10 @@ class GenreNet(fnn.Module):
         pred_proj_sph = self.backproject_spherical(out1["pred_sph_full"])
         proj_depth = jnp.clip(proj_depth / 50.0, 1e-5, 1.0 - 1e-5)
         refine_in = jnp.stack([pred_proj_sph, proj_depth], axis=-1)
+        # on a (dp, sp) mesh, partition the voxel Z axis across sp so the
+        # 3D U-Net runs spatially sharded (GSPMD inserts conv halos)
+        from ..parallel.mesh import maybe_shard_spatial
+        refine_in = maybe_shard_spatial(refine_in, axis=3)
         pred_voxel = self.refine_net(refine_in.astype(self.dtype), train)
         out1["pred_proj_depth"] = proj_depth
         out1["pred_voxel"] = pred_voxel
@@ -107,7 +111,8 @@ class Model(DepthInpaintModel):
         s = self.opt.im_size
         rgb = jnp.zeros((1, s, s, 3))
         sil = jnp.zeros((1, s, s, 1))
-        variables = self.net.init(rng, rgb, sil, train=False)
+        variables = jax.jit(
+            lambda r: self.net.init(r, rgb, sil, train=False))(rng)
         params = variables["params"]
         state = ModelState(
             params={"net": params},

@@ -68,7 +68,8 @@ class Model(Marrnet2Model):
 
     def init_state(self, rng):
         s = self.opt.im_size
-        variables = self.net.init(rng, jnp.zeros((1, s, s, 3)), train=False)
+        variables = jax.jit(lambda r: self.net.init(
+            r, jnp.zeros((1, s, s, 3)), train=False))(rng)
         params = variables["params"]
         stats = variables.get("batch_stats", {})
         # load pretrained subnets (marrnet.py:96-103)

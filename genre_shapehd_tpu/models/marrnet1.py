@@ -52,7 +52,10 @@ class Model(ModelBase):
     def init_state(self, rng: jax.Array) -> ModelState:
         dummy = jnp.zeros((1, self.opt.im_size, self.opt.im_size, 3),
                           jnp.float32)
-        variables = self.net.init(rng, dummy, train=False)
+        # jit the init: eager flax init dispatches hundreds of ops
+        # individually (minutes over the axon tunnel)
+        variables = jax.jit(
+            lambda r: self.net.init(r, dummy, train=False))(rng)
         params = variables["params"]
         return ModelState(
             params={"net": params},

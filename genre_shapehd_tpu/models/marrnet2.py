@@ -69,7 +69,8 @@ class Model(ModelBase):
         s = self.opt.im_size
         dummy = (jnp.zeros((1, s, s, 1)), jnp.zeros((1, s, s, 3)),
                  jnp.zeros((1, s, s, 1)))
-        variables = self.net.init(rng, *dummy, train=False)
+        variables = jax.jit(
+            lambda r: self.net.init(r, *dummy, train=False))(rng)
         params = variables["params"]
         return ModelState(
             params={"net": params},

@@ -76,8 +76,8 @@ class Model(ModelBase):
         rng_g, rng_d = jax.random.split(rng)
         z = jnp.zeros((1, self.nz))
         vox = jnp.zeros((1,) + (self.opt.vox_res,) * 3)
-        gv = self.net_g.init(rng_g, z, train=False)
-        dv = self.net_d.init(rng_d, vox)
+        gv = jax.jit(lambda r: self.net_g.init(r, z, train=False))(rng_g)
+        dv = jax.jit(lambda r: self.net_d.init(r, vox))(rng_d)
         return ModelState(
             params={"net_g": gv["params"], "net_d": dv["params"]},
             batch_stats={"net_g": gv.get("batch_stats", {}),

@@ -20,12 +20,53 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 BATCH_AXIS = "dp"
+SPATIAL_AXIS = "sp"
 
 
 def make_mesh(devices: Optional[Sequence] = None,
               axis_name: str = BATCH_AXIS) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     return Mesh(np.array(devices), (axis_name,))
+
+
+def make_mesh_2d(dp: int, sp: int,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """(dp, sp) mesh: batch parallel over ``dp``, spatial (voxel-grid)
+    partitioning over ``sp``.  GSPMD inserts the 3D-conv halo exchanges
+    over ICI when activations carry an ``sp`` sharding constraint
+    (see maybe_shard_spatial)."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert dp * sp <= len(devices), (dp, sp, len(devices))
+    arr = np.array(devices[: dp * sp]).reshape(dp, sp)
+    return Mesh(arr, (BATCH_AXIS, SPATIAL_AXIS))
+
+
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    """Record the mesh the trainer jits over; read at trace time by
+    maybe_shard_spatial."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def maybe_shard_spatial(x, axis: int = -2):
+    """Constrain one spatial axis of an activation to the ``sp`` mesh axis
+    when the active mesh has one; identity otherwise.
+
+    Model code calls this on large voxel activations (e.g. the 3D U-Net
+    input, genre_full.GenreNet) so the same code runs 1-chip, dp-only,
+    and dp x sp without changes; GSPMD inserts the conv halo exchanges.
+    """
+    mesh = _ACTIVE_MESH
+    if mesh is None or SPATIAL_AXIS not in mesh.axis_names:
+        return x
+    spec = [None] * x.ndim
+    spec[axis % x.ndim] = SPATIAL_AXIS
+    spec[0] = BATCH_AXIS
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -44,13 +85,13 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     had the same constraint, netinterface.py:495-498).
     """
     sharding = batch_sharding(mesh)
-    n = mesh.devices.size
+    n = dict(zip(mesh.axis_names, mesh.devices.shape))[BATCH_AXIS]
 
     def put(x):
         x = np.asarray(x)
         if x.ndim == 0 or x.shape[0] % n != 0:
             raise ValueError(
-                f"batch leading dim {x.shape} not divisible by mesh size {n}")
+                f"batch leading dim {x.shape} not divisible by dp size {n}")
         return jax.device_put(x, sharding)
 
     return jax.tree.map(put, batch)

@@ -26,13 +26,15 @@ from .state import (reference_payload_to_state, state_to_reference_payload)
 
 class Trainer:
     def __init__(self, model, opt, logger: Optional[ComposeLogger] = None,
-                 mesh=None):
+                 mesh=None, visualizer=None):
         self.model = model
         self.opt = opt
         self.logger = logger or ComposeLogger([])
         self.cumulator = LogCumulator()
         self.logger.add_logger(self.cumulator)
         self.mesh = mesh or pmesh.make_mesh()
+        pmesh.set_active_mesh(self.mesh)
+        self.visualizer = visualizer
         self.state = None
         self.start_epoch = 0
         self.initial_loss_eval = float("inf")
@@ -100,6 +102,33 @@ class Trainer:
                                   rng, training=False)
         return log
 
+    def _prefetched(self, data_iter, steps: int):
+        """One-step-lookahead pipeline: the next batch is fetched and
+        device_put on a worker thread while the current step runs
+        (replaces the reference's DataLoader-worker overlap,
+        netinterface.py:244-252)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def worker():
+            try:
+                for _ in range(steps):
+                    t0 = time.time()
+                    batch = next(data_iter)
+                    dev_batch, rest = self._device_batch(batch)
+                    q.put((dev_batch, rest, batch, time.time() - t0))
+            except Exception as e:          # surface in the main thread
+                q.put(e)
+
+        threading.Thread(target=worker, daemon=True).start()
+        for _ in range(steps):
+            item = q.get()
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
     def _run_phase(self, epoch: int, data_iter, steps: int, rng: jax.Array,
                    training: bool) -> Dict[str, float]:
         logger = self.logger
@@ -107,11 +136,9 @@ class Trainer:
         logger.on_epoch_begin(epoch)
         t_end = time.time()
         eval_pred = None
-        for i in range(steps):
-            batch = next(data_iter)
-            data_time = time.time() - t_end
+        for i, (dev_batch, rest, batch, data_time) in enumerate(
+                self._prefetched(data_iter, steps)):
             logger.on_batch_begin(i)
-            dev_batch, rest = self._device_batch(batch)
             step_rng = jax.random.fold_in(rng, epoch * 1_000_003 + i
                                           + (0 if training else 500_000))
             if training:
@@ -120,6 +147,7 @@ class Trainer:
             else:
                 metrics, eval_pred = self._eval_step(
                     self.state, dev_batch, step_rng)
+                self._maybe_visualize(epoch, i, eval_pred, batch)
             metrics = {k: float(v) for k, v in metrics.items()}
             batch_time = time.time() - t_end
             size = next(iter(dev_batch.values())).shape[0] \
@@ -134,6 +162,26 @@ class Trainer:
         logger.on_epoch_end(epoch, epoch_log)
         self._last_eval_pred = eval_pred
         return epoch_log
+
+    def _maybe_visualize(self, epoch, batch_idx, pred, batch):
+        """Eval-time visualization every ``vis_every_vali`` epochs for the
+        first ``vis_batches_vali`` batches (marrnetbase.py:57-66), plus the
+        raw .npz dump."""
+        if self.visualizer is None or pred is None:
+            return
+        opt = self.opt
+        if epoch % max(getattr(opt, "vis_every_vali", 1), 1) != 0:
+            return
+        if batch_idx >= getattr(opt, "vis_batches_vali", 0):
+            return
+        outdir = os.path.join(opt.full_logdir, f"epoch{epoch:04d}_vali")
+        os.makedirs(outdir, exist_ok=True)
+        pred_np = jax.tree.map(np.asarray, pred)
+        output = self.model.pack_output(pred_np, batch)
+        self.visualizer.visualize(output, batch_idx, outdir)
+        np.savez(os.path.join(outdir, f"batch{batch_idx:04d}"),
+                 **{k: v for k, v in output.items()
+                    if isinstance(v, np.ndarray)})
 
     # --------------------------------------------------------------- train
     def fit(self, train_loader, eval_loader, epochs: int,
