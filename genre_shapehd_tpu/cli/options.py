@@ -86,6 +86,11 @@ def add_general_arguments(parser: argparse.ArgumentParser) -> Set[str]:
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=("float32", "bfloat16"),
                         help="compute dtype for network forward passes")
+    parser.add_argument("--backbone_init", type=str, default=None,
+                        help="converted resnet18 backbone checkpoint "
+                             "(tools/convert_reference_checkpoint.py) to "
+                             "initialize the image encoder -- stands in "
+                             "for torchvision pretrained=True")
     parser.add_argument("--sp", type=int, default=1,
                         help="spatial-parallel mesh width: devices form a "
                              "(n_devices/sp, sp) mesh and large voxel "

@@ -48,7 +48,7 @@ def default_opt(**overrides) -> SimpleNamespace:
         surface_weight=1.0, canon_voxel=False, wgangp_lambda=10.0,
         wgangp_norm=1.0, gan_d_iter=1, marrnet1=None, marrnet2=None,
         gan=None, w_gan_loss=0.0, marrnet1_file=None, net_file=None,
-        output_dir=None,
+        output_dir=None, backbone_init=None, sp=1, exact_render=False,
     )
     base.update(overrides)
     return SimpleNamespace(**base)
@@ -172,6 +172,24 @@ class ModelBase:
     @staticmethod
     def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
         return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels))
+
+    # ------------------------------------------------------------ backbone
+    @staticmethod
+    def load_backbone(params: Dict, batch_stats: Dict, path: str,
+                      subname: str = "ResNet18Features_0"):
+        """Replace an encoder backbone subtree with converted weights
+        (e.g. ImageNet-pretrained resnet18 via
+        tools/convert_reference_checkpoint.py --net resnet18); the
+        counterpart of the reference's torchvision pretrained=True."""
+        from ..core.checkpoint import load_checkpoint
+        payload = load_checkpoint(path)
+        net = payload["nets"][0]
+        params = dict(params)
+        batch_stats = dict(batch_stats)
+        assert subname in params, (subname, list(params))
+        params[subname] = net["params"]
+        batch_stats[subname] = net.get("batch_stats", {})
+        return params, batch_stats
 
     # --------------------------------------------------------- abstract api
     def init_state(self, rng: jax.Array) -> ModelState:

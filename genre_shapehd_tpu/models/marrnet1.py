@@ -57,9 +57,13 @@ class Model(ModelBase):
         variables = jax.jit(
             lambda r: self.net.init(r, dummy, train=False))(rng)
         params = variables["params"]
+        stats = variables.get("batch_stats", {})
+        if getattr(self.opt, "backbone_init", None):
+            params, stats = self.load_backbone(
+                params, stats, self.opt.backbone_init)
         return ModelState(
             params={"net": params},
-            batch_stats={"net": variables.get("batch_stats", {})},
+            batch_stats={"net": stats},
             opt_state={"net": self.tx.init(params)},
             step=jnp.zeros((), jnp.int32),
         )

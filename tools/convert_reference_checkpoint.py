@@ -24,11 +24,13 @@ Usage:
 """
 
 import argparse
+import os
 import sys
 
 import numpy as np
 
 sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def torch_conv_to_flax(w: np.ndarray) -> np.ndarray:
@@ -72,13 +74,31 @@ def main():
         raise SystemExit("torch is required for checkpoint conversion")
 
     payload = torch.load(args.src, map_location="cpu")
+
+    import pickle
+
+    if args.net == "resnet18":
+        # torchvision resnet18 -> nn.ResNet18Features params/batch_stats
+        # (rules validated against torch oracles, tests/test_conversion.py)
+        from torch_layer_conversion import convert_torchvision_resnet18
+        sd = payload if not hasattr(payload, "state_dict") else \
+            payload.state_dict()
+        sd = {k: np.asarray(v) for k, v in sd.items()
+              if not k.endswith("num_batches_tracked")}
+        params, stats = convert_torchvision_resnet18(sd)
+        with open(args.dst, "wb") as f:
+            pickle.dump({"nets": [{"params": params,
+                                   "batch_stats": stats}],
+                         "optimizers": [], "epoch": 0, "loss_eval": 0.0},
+                        f)
+        print(f"wrote {args.dst} (resnet18 backbone)")
+        return
+
     nets = payload.get("nets", [payload])
     converted = [convert_state_dict(sd) for sd in nets]
-
-    # NOTE: full name-mapping tables land with weight-parity validation;
-    # this emits the raw converted arrays keyed by torch names so the
-    # mapping can be assembled/validated per network.
-    import pickle
+    # NOTE: per-model name-mapping tables extend torch_layer_conversion as
+    # released checkpoints become available; this emits the raw arrays
+    # keyed by torch names so a mapping can be assembled per network.
     with open(args.dst, "wb") as f:
         pickle.dump({"torch_nets": converted,
                      "epoch": payload.get("epoch"),
