@@ -104,6 +104,9 @@ def parse_train(argv=None) -> Tuple[argparse.Namespace, Set[str]]:
     """options_train.py:106-127 two-stage parse."""
     parser = argparse.ArgumentParser()
     unique_params = add_general_arguments(parser)
+    parser.add_argument("--printhelp", action="store_true",
+                        help="print help AFTER model/dataset flags are "
+                             "registered (options_train.py:121-122)")
     first, _ = parser.parse_known_args(argv)
 
     if first.dataset is not None:
@@ -114,6 +117,9 @@ def parse_train(argv=None) -> Tuple[argparse.Namespace, Set[str]]:
     parser, u = model_cls.add_arguments(parser)
     unique_params |= u
 
+    if first.printhelp:
+        parser.print_help()
+        raise SystemExit(0)
     opt = parser.parse_args(argv)
     return opt, unique_params
 

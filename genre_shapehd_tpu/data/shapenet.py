@@ -39,6 +39,22 @@ STATUS_AND_SUFFIX = {
                     "suffix": "_voxel_normalized_128.mat"},
 }
 
+_ALL_SYNSETS = (
+    "02691156+02747177+02773838+02801938+02808440+02818832+02828884"
+    "+02843684+02871439+02876657+02880940+02924116+02933112+02942699"
+    "+02946921+02954340+02958343+02992529+03001627+03046257+03085013"
+    "+03207941+03211117+03261776+03325088+03337140+03467517+03513137"
+    "+03593526+03624134+03636649+03642806+03691459+03710193+03759954"
+    "+03761084+03790512+03797390+03928116+03938244+03948459+03991062"
+    "+04004475+04074963+04090263+04099429+04225987+04256520+04330267"
+    "+04379243+04401088+04460130+04468005+04530566+04554684"
+)
+
+
+def _all_but(synset: str) -> str:
+    return "+".join(s for s in _ALL_SYNSETS.split("+") if s != synset)
+
+
 CLASS_ALIASES = {
     "drc": "03001627+02691156+02958343",
     "chair": "03001627", "table": "04379243", "sofa": "04256520",
@@ -51,7 +67,14 @@ CLASS_ALIASES = {
     "pistol": "03948459", "faucet": "03325088", "helmet": "03513137",
     "clock": "03046257", "phone": "04401088", "display": "03211117",
     "vessel": "04530566", "rifle": "04090263",
+    "small": ("03001627+04379243+02933112+04256520+02958343+03636649"
+              "+02691156+04530566"),
+    "all": _ALL_SYNSETS,
+    "all-but-table": _all_but("04379243"),
+    "all-but-chair": _all_but("03001627"),
 }
+
+CLASS_LIST = _ALL_SYNSETS.split("+")
 
 
 class Dataset:

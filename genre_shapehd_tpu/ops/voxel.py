@@ -37,6 +37,16 @@ def find_bound(vox: np.ndarray, th: float = 0.0) -> np.ndarray:
     return np.stack([occ.min(axis=0), occ.max(axis=0)], axis=1)
 
 
+def bounding_box_align(vox_a: np.ndarray, vox_b: np.ndarray,
+                       th: float = 0.0) -> np.ndarray:
+    """Translate ``vox_a`` so its occupied bounding-box centre matches
+    ``vox_b``'s (util_voxel.py:47-61)."""
+    ba = find_bound(vox_a, th)
+    bb = find_bound(vox_b, th)
+    shift = np.round((bb.mean(axis=1) - ba.mean(axis=1))).astype(int)
+    return translate(vox_a, shift)
+
+
 def translate(vox: np.ndarray, shift: np.ndarray) -> np.ndarray:
     """Discrete integer translate with zero fill (util_voxel.py:64-90)."""
     out = np.zeros_like(vox)

@@ -13,6 +13,7 @@ Usage:
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -63,12 +64,39 @@ def chamfer_between_voxels(pred: np.ndarray, gt: np.ndarray,
     return float(np.asarray(score)[0])
 
 
+def eval_directory(pred_dir: str, gt_dir: str, key: str, gt_key: str,
+                   th: float, use_sigmoid: bool, n_points: int):
+    """Batch protocol: pair every <name>.npz in pred_dir with gt_dir/<name>.npz,
+    report per-item CDs and the mean (the per-class aggregation of the
+    Pix3D protocol is a groupby over item names)."""
+    import glob as globlib
+    results = {}
+    for pred_path in sorted(globlib.glob(os.path.join(pred_dir, "*.npz"))):
+        name = os.path.basename(pred_path)
+        gt_path = os.path.join(gt_dir, name)
+        if not os.path.isfile(gt_path):
+            continue
+        pred = np.load(pred_path)[key]
+        gt = np.load(gt_path)[gt_key]
+        if pred.ndim == 4:
+            pred = pred[0]
+        if gt.ndim == 4:
+            gt = gt[0]
+        results[name] = chamfer_between_voxels(
+            pred, gt, th=th, use_sigmoid=use_sigmoid, n_points=n_points)
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pred", required=True)
+    ap.add_argument("--pred", default=None)
     ap.add_argument("--key", default="pred_voxel")
-    ap.add_argument("--gt", required=True)
+    ap.add_argument("--gt", default=None)
     ap.add_argument("--gt_key", default="voxel")
+    ap.add_argument("--pred_dir", default=None,
+                    help="directory of per-item .npz predictions")
+    ap.add_argument("--gt_dir", default=None,
+                    help="directory of matching .npz ground truths")
     ap.add_argument("--th", type=float, default=0.25)
     ap.add_argument("--n_points", type=int, default=1024)
     ap.add_argument("--no_sigmoid", action="store_true")
@@ -82,6 +110,17 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    if args.pred_dir:
+        assert args.gt_dir, "--pred_dir requires --gt_dir"
+        results = eval_directory(args.pred_dir, args.gt_dir, args.key,
+                                 args.gt_key, args.th, not args.no_sigmoid,
+                                 args.n_points)
+        mean = float(np.mean(list(results.values()))) if results else None
+        print(json.dumps({"mean_chamfer_distance": mean,
+                          "n_items": len(results), "per_item": results}))
+        return
+
+    assert args.pred and args.gt, "--pred/--gt or --pred_dir/--gt_dir"
     pred = np.load(args.pred)[args.key]
     gt = np.load(args.gt)[args.gt_key]
     if pred.ndim == 4:
