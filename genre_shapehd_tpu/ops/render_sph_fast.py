@@ -112,7 +112,10 @@ def sample_rays_mxu(vox: jnp.ndarray, sph_res: int = 128, z_res: int = 256,
     wx, wy, wz, wr = _stage_weights(v, sph_res, z_res, rho_res)
     nch = sph_res // chunk
     assert nch * chunk == sph_res, (sph_res, chunk)
-    hi = jax.lax.Precision.HIGHEST
+    # default MXU precision: measured 46ms vs 74ms (HIGHEST) at reference
+    # scale with 9e-6 mean / 6e-5 max expected-depth deviation -- the hat
+    # weights and probabilities are well-conditioned (no cancellation)
+    hi = jax.lax.Precision.DEFAULT
 
     # stage 1: cylindrical resample, contracted x then (diagonal-in-m) y
     #   t1[b, th, m, y, z] = sum_x vox[b, x, y, z] wx[th, x, m]
