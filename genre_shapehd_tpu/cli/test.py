@@ -14,8 +14,6 @@ import os
 import shutil
 import sys
 
-import jax
-
 from ..core.registry import get_dataset, get_model
 from ..data.loader import DataLoader
 from ..utils import str_stage, str_verbose

@@ -16,10 +16,9 @@ torch NCXYZ artifact); spherical maps keep the reference's leading
 
 from __future__ import annotations
 
-import os
 import random
 from os.path import join
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 from scipy.io import loadmat

@@ -21,7 +21,7 @@ import optax
 from ..core.checkpoint import load_checkpoint
 from ..nn import UResNet, VoxelDiscriminator
 from ..train.state import ModelState
-from .marrnet2 import Marrnet2Net, Model as Marrnet2Model
+from .marrnet2 import Model as Marrnet2Model
 from .test_base import TestMixin
 
 

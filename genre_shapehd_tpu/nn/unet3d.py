@@ -14,7 +14,7 @@ import math
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .init import kaiming_normal, bn_scale_init
+from .init import kaiming_normal
 from .voxel_nets import Conv3D, Deconv3D, _bn
 
 

@@ -73,7 +73,6 @@ def _hat_weights(targets: np.ndarray, size: int) -> np.ndarray:
 def _stage_weights(vox_res: int, sph_res: int, z_res: int, rho_res: int):
     """Static weight tensors for both stages (numpy, computed once)."""
     v = vox_res
-    dirs = gen_sph_grid(sph_res)                     # (R, R, 3) rows=phi
     phis = np.deg2rad(np.linspace(0, 180, sph_res * 2 + 1)[1::2])
     thetas = np.deg2rad(np.linspace(0, 360, sph_res + 1)[:-1])
     t_prime = 2.0 * (1.0 - np.linspace(0.0, 1.0, z_res))   # radius per step

@@ -8,7 +8,7 @@ device arrays are pulled to host by the clean fn).
 from __future__ import annotations
 
 import os
-from typing import Any, Callable, Dict, List
+from typing import Any, Callable, List
 
 import numpy as np
 

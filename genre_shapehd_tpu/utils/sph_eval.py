@@ -11,13 +11,12 @@ evaluation tooling.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np
 
 from .. import ops
-from ..data import preprocess as pp
 
 
 def make_sgrid(b: int) -> np.ndarray:
