@@ -24,6 +24,10 @@ from ..data import preprocess as pp
 from .mcubes import marching_cubes
 
 VOXEL_ISOSURF_TH = 0.25      # visualizer.py:85
+#: triangles beyond this are subsampled for .obj dumps -- untrained nets
+#: produce noise surfaces with >10M triangles that would take minutes to
+#: serialize; trained shapes are ~100k triangles and unaffected
+MAX_OBJ_TRIS = 2_000_000
 
 
 def to_obj_str(verts: np.ndarray, faces: np.ndarray) -> str:
@@ -32,8 +36,15 @@ def to_obj_str(verts: np.ndarray, faces: np.ndarray) -> str:
     return "\n".join(lines) + "\n"
 
 
+def write_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
+    """Buffered .obj writer (numpy savetxt chunks, ~20x the naive join)."""
+    with open(path, "w") as f:
+        np.savetxt(f, np.asarray(verts, np.float32), fmt="v %.6f %.6f %.6f")
+        np.savetxt(f, np.asarray(faces, np.int64) + 1, fmt="f %d %d %d")
+
+
 def save_iso_obj(df: np.ndarray, path: str, th: float,
-                 shift: bool = True) -> None:
+                 shift: bool = True, max_tris: int = MAX_OBJ_TRIS) -> None:
     """visualizer.py:153-166: clamp the field so the iso level exists,
     extract at 1/128 spacing, shift to [-0.5, 0.5]^3."""
     df = np.asarray(df, dtype=np.float32).copy()
@@ -45,8 +56,14 @@ def save_iso_obj(df: np.ndarray, path: str, th: float,
     verts, faces = marching_cubes(df, th, spacing=(1 / res,) * 3)
     if shift:
         verts = verts - 0.5
-    with open(path, "w") as f:
-        f.write(to_obj_str(verts, faces))
+    if len(faces) > max_tris:
+        keep = np.random.default_rng(0).choice(len(faces), max_tris,
+                                               replace=False)
+        faces = faces[keep]
+        # the extractor emits unshared vertices (3 per tri) -- compact
+        verts = verts[faces.reshape(-1)]
+        faces = np.arange(faces.size, dtype=np.int64).reshape(-1, 3)
+    write_obj(path, verts, faces)
 
 
 class Visualizer:
