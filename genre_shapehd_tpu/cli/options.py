@@ -95,6 +95,11 @@ def add_general_arguments(parser: argparse.ArgumentParser) -> Set[str]:
                         help="spatial-parallel mesh width: devices form a "
                              "(n_devices/sp, sp) mesh and large voxel "
                              "activations shard their Z axis across sp")
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize() for "
+                             "multi-host (DCN) training: the mesh then "
+                             "spans all hosts' devices; each host loads "
+                             "its own data shard")
     parser.add_argument("--synthetic_length", type=int, default=64,
                         help="samples per epoch for the synthetic dataset")
     return unique_params

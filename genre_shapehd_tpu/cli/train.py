@@ -50,6 +50,11 @@ def main(argv=None) -> int:
     enable_compile_cache()
 
     print(str_stage, "Setting up device + seed")
+    if getattr(opt, "multihost", False):
+        # multi-host slice over DCN: same sharding annotations, global mesh
+        jax.distributed.initialize()
+        print(str_verbose, f"process {jax.process_index()} of "
+              f"{jax.process_count()}")
     if opt.manual_seed is not None:
         np.random.seed(opt.manual_seed)
     rng = jax.random.PRNGKey(opt.manual_seed or 0)

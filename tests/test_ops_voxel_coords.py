@@ -26,6 +26,18 @@ def test_translate():
     assert out.sum() == 1.0
 
 
+def test_bounding_box_align_centres_match():
+    a = np.zeros((16, 16, 16), np.float32)
+    a[1:5, 1:5, 1:5] = 1.0
+    b = np.zeros((16, 16, 16), np.float32)
+    b[9:13, 8:12, 10:14] = 1.0
+    aligned = voxel.bounding_box_align(a, b)
+    ca = voxel.find_bound(aligned).mean(axis=1)
+    cb = voxel.find_bound(b).mean(axis=1)
+    np.testing.assert_allclose(ca, cb, atol=0.51)
+    assert aligned.sum() == a.sum()
+
+
 def test_fill_solid_closes_hollow_cube():
     v = np.zeros((10, 10, 10), np.float32)
     v[2:8, 2:8, 2:8] = 1.0
