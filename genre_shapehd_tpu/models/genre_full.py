@@ -128,7 +128,12 @@ class Model(DepthInpaintModel):
     def compute_loss(self, pred, batch) -> Tuple[jnp.ndarray, Dict]:
         loss, loss_data = (DepthInpaintModel.compute_loss(self, pred, batch)
                            if self.joint_train else (0.0, {}))
-        gt = batch["voxel"]
+        # surface-shell GT derived IN-GRAPH (reduce_window erosion, ~ms on
+        # TPU) instead of per-sample scipy erosion on the host, which
+        # dominated data time (~0.4s/sample at 128^3); numerically equal to
+        # the reference's preprocessing (tested vs scipy in
+        # tests/test_ops_voxel_coords.py)
+        gt = ops.voxel.surface_from_solid_jax(batch["voxel"])
         logits = pred["pred_voxel"].astype(jnp.float32)
         voxel_loss = self.bce_with_logits(logits, gt)
         sig = jnp.clip(jax.nn.sigmoid(logits) * gt, 1e-7, 1.0 - 1e-7)
@@ -142,17 +147,16 @@ class Model(DepthInpaintModel):
         return loss, loss_data
 
     def preprocess(self, data, mode="train"):
-        """GT voxel -> train frame + surface shell (genre_full_model.py:86-97).
-        Voxel arrays arrive (X, Y, Z) and stay channel-free."""
+        """GT voxel -> train frame (genre_full_model.py:90-92); the surface
+        shell (erosion subtraction, :93-95) is derived in-graph by
+        compute_loss.  Voxel arrays arrive (X, Y, Z) and stay channel-free."""
         out = super().preprocess(data, mode)
         if "voxel" in out:
-            val = np.asarray(out["voxel"], dtype=np.float64)
+            val = np.asarray(out["voxel"], dtype=np.float32)
             if val.ndim == 4:
                 val = val[0]
             val = np.transpose(val, (0, 2, 1))
-            val = np.flip(val, 2)
-            out["voxel"] = ops.voxel.surface_from_solid_np(
-                val, iterations=2).astype(np.float32)
+            out["voxel"] = np.ascontiguousarray(np.flip(val, 2))
         return out
 
     def pack_output(self, pred, batch, add_gt=True):

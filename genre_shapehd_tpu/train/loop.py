@@ -148,7 +148,10 @@ class Trainer:
                 metrics, eval_pred = self._eval_step(
                     self.state, dev_batch, step_rng)
                 self._maybe_visualize(epoch, i, eval_pred, batch)
-            metrics = {k: float(v) for k, v in metrics.items()}
+            # one D2H transfer for all metrics (per-float fetches cost one
+            # relay round trip each)
+            metrics = {k: float(v)
+                       for k, v in jax.device_get(metrics).items()}
             batch_time = time.time() - t_end
             size = next(iter(dev_batch.values())).shape[0] \
                 if dev_batch else self.opt.batch_size

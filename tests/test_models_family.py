@@ -105,9 +105,16 @@ def test_genre_full_trains_refiner_with_surface_loss():
     state = model.init_state(jax.random.PRNGKey(0))
     batch = make_batch(model, opt)
     assert batch["voxel"].shape == (4, 32, 32, 32)
-    # GT is a surface shell: sparse but nonempty
+    # GT arrives as the (transposed/flipped) solid; the surface shell is
+    # derived in-graph by compute_loss
     frac = float(jnp.mean(batch["voxel"]))
     assert 0 < frac < 0.5
+    from genre_shapehd_tpu.ops.voxel import (surface_from_solid_jax,
+                                             surface_from_solid_np)
+    shell = np.asarray(surface_from_solid_jax(batch["voxel"]))
+    want = np.stack([surface_from_solid_np(v)
+                     for v in np.asarray(batch["voxel"])])
+    np.testing.assert_allclose(shell, want)
     step = jax.jit(model.train_step)
     new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
     # non-joint genre has no spherical loss (genre_full_model.py:62-63)
