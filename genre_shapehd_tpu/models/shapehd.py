@@ -65,8 +65,13 @@ class Model(Marrnet2Model):
             payload = load_checkpoint(self.opt.marrnet2)
             params["net"] = payload["nets"][0]["params"]
             stats["net"] = payload["nets"][0].get("batch_stats", {})
-        params["net_noft"] = jax.tree.map(lambda x: x, params["net"])
-        stats["net_noft"] = jax.tree.map(lambda x: x, stats["net"])
+        # REAL copies, not aliases: the trainer donates the state buffers,
+        # and donating the same underlying buffer for two pytree slots is
+        # an XLA InvalidArgument on TPU
+        params["net_noft"] = jax.tree.map(lambda x: jnp.array(x, copy=True),
+                                          params["net"])
+        stats["net_noft"] = jax.tree.map(lambda x: jnp.array(x, copy=True),
+                                         stats["net"])
         if getattr(self.opt, "gan", None):
             payload = load_checkpoint(self.opt.gan)
             # wgangp payload: nets[0]=G, nets[1]=D (wgangp.py:103)
