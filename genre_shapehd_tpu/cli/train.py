@@ -84,7 +84,8 @@ def main(argv=None) -> int:
     logger = ComposeLogger(loggers)
 
     from ..viz.visualizer import Visualizer
-    visualizer = Visualizer(n_workers=opt.vis_workers) \
+    visualizer = Visualizer(n_workers=opt.vis_workers,
+                            param_f=getattr(opt, "vis_param_f", None)) \
         if opt.vis_batches_vali > 0 else None
     mesh = None
     if getattr(opt, "sp", 1) > 1:
@@ -122,11 +123,14 @@ def main(argv=None) -> int:
     dataset_cls = get_dataset(opt.dataset)
     ds_train = dataset_cls(opt, mode="train", model=model)
     ds_vali = dataset_cls(opt, mode="vali", model=model)
+    # per-process data sharding: every process draws the same global index
+    # sequence and loads only its slice (no-op single-process)
+    shard = dict(shard_id=jax.process_index(), num_shards=jax.process_count())
     train_loader = DataLoader(ds_train, opt.batch_size, shuffle=True,
                               num_workers=opt.workers,
-                              seed=opt.manual_seed or 0)
+                              seed=opt.manual_seed or 0, **shard)
     vali_loader = DataLoader(ds_vali, opt.batch_size, shuffle=False,
-                             num_workers=opt.workers)
+                             num_workers=opt.workers, **shard)
     steps = opt.epoch_batches or len(train_loader)
     eval_steps = (opt.eval_batches if opt.eval_batches is not None
                   else len(vali_loader))

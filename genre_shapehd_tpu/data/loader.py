@@ -32,9 +32,16 @@ def collate(samples: List[Dict]) -> Dict:
 
 
 class DataLoader:
+    """``batch_size`` is the GLOBAL batch; under multi-host training
+    (``num_shards`` = jax.process_count()) every process draws the same
+    global index sequence (same seed) and loads only its contiguous
+    per-process slice of each batch -- the slice that
+    parallel.mesh.shard_batch places on this process's devices."""
+
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 4, seed: int = 0,
-                 drop_last: bool = True, prefetch: int = 2):
+                 drop_last: bool = True, prefetch: int = 2,
+                 shard_id: int = 0, num_shards: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -43,6 +50,11 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.epoch = 0
+        assert 0 <= shard_id < num_shards, (shard_id, num_shards)
+        assert batch_size % num_shards == 0, \
+            f"global batch {batch_size} must divide {num_shards} processes"
+        self.shard_id = shard_id
+        self.num_shards = num_shards
 
     def __len__(self):
         n = len(self.dataset)
@@ -54,8 +66,10 @@ class DataLoader:
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(idx)
         nb = len(self)
-        return [idx[i * self.batch_size:(i + 1) * self.batch_size].tolist()
-                for i in range(nb)]
+        k = self.batch_size // self.num_shards
+        lo = self.shard_id * k
+        return [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                [lo:lo + k].tolist() for i in range(nb)]
 
     def __iter__(self) -> Iterator[Dict]:
         batches = self._index_batches()

@@ -31,7 +31,9 @@ class TestMixin:
 
     def init_test(self, opt):
         self.output_dir = opt.output_dir
-        self.visualizer = Visualizer(n_workers=getattr(opt, "vis_workers", 4))
+        self.visualizer = Visualizer(
+            n_workers=getattr(opt, "vis_workers", 4),
+            param_f=getattr(opt, "vis_param_f", None))
         self.state = None
         self._jit_predict = jax.jit(self.predict_step)
 

@@ -78,21 +78,40 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def dp_size(mesh: Mesh) -> int:
+    return dict(zip(mesh.axis_names, mesh.devices.shape))[BATCH_AXIS]
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Device-put a host batch with its leading axis split across the mesh.
 
-    Every leaf must have leading dim divisible by mesh size (the reference
-    had the same constraint, netinterface.py:495-498).
+    Unlike the reference, which hard-required the batch to divide the GPU
+    count (netinterface.py:495-498), a non-divisible batch is repeated
+    uniformly: each sample appears exactly ``n // gcd(b, n)`` times, so the
+    padded leading dim is lcm(b, n).  Uniform repetition keeps the global
+    batch mean, the gradients, and the per-batch BatchNorm statistics
+    EXACTLY equal to the original batch's -- the reference-scale batch of 4
+    runs unchanged on an 8-chip slice (tested in tests/test_mesh_pad.py).
     """
     sharding = batch_sharding(mesh)
-    n = dict(zip(mesh.axis_names, mesh.devices.shape))[BATCH_AXIS]
+    n = dp_size(mesh)
+    pc = jax.process_count()
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim == 0 or x.shape[0] % n != 0:
-            raise ValueError(
-                f"batch leading dim {x.shape} not divisible by dp size {n}")
-        return jax.device_put(x, sharding)
+        if x.ndim == 0:
+            raise ValueError(f"batch leaves must be batched, got {x.shape}")
+        b = x.shape[0] * pc                      # global batch size
+        if b % n != 0:
+            # same repeat factor on every process -> still uniform globally
+            x = np.repeat(x, n // np.gcd(b, n), axis=0)
+        if pc == 1:
+            return jax.device_put(x, sharding)
+        # multi-host: x is this process's contiguous slice of the global
+        # batch (data.loader shard_id/num_shards); assemble the global
+        # array from per-process local shards
+        return jax.make_array_from_process_local_data(
+            sharding, x, global_shape=(x.shape[0] * pc,) + x.shape[1:])
 
     return jax.tree.map(put, batch)
 

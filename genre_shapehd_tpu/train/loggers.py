@@ -130,7 +130,12 @@ class LogCumulator(Logger):
 
 
 class Progbar:
-    """Running-average progress bar (loggers/Progbar.py)."""
+    """Running-average progress bar (loggers/Progbar.py).
+
+    The step-weighted running-average accumulation in ``update`` follows
+    the Keras ``Progbar`` idiom (the reference's Progbar.py:28-44 is itself
+    derived from Keras, MIT license).
+    """
 
     def __init__(self, target: int, width: int = 30,
                  stream=None, interval: float = 0.05):

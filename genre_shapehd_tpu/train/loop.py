@@ -103,6 +103,11 @@ class Trainer:
                 arrays[k] = v.astype(np.uint8)
             else:
                 arrays[k] = v
+        # true (pre-padding) batch size for metric weighting: shard_batch
+        # may repeat samples to satisfy mesh divisibility
+        for v in arrays.values():
+            rest["_true_size"] = v.shape[0]
+            break
         return pmesh.shard_batch(arrays, self.mesh), rest
 
     def train_epoch_pair(self, epoch: int, train_iter, eval_loader,
@@ -167,8 +172,7 @@ class Trainer:
             metrics = {k: float(v)
                        for k, v in jax.device_get(metrics).items()}
             batch_time = time.time() - t_end
-            size = next(iter(dev_batch.values())).shape[0] \
-                if dev_batch else self.opt.batch_size
+            size = rest.get("_true_size", self.opt.batch_size)
             batch_log = {"size": size, **metrics}
             if getattr(self.opt, "log_time", False):
                 batch_log["batch_time"] = batch_time

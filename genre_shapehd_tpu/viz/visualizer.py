@@ -79,13 +79,24 @@ class Visualizer:
         self.pool = (ThreadPoolExecutor(n_workers) if n_workers > 0 else None)
         if self.pool is not None:
             atexit.register(self.pool.shutdown)
+        # visualizer.py:58-61 accepts a JSON param file but the reference's
+        # consumption of it is commented out (visualizer.py:84-85, hardcoded
+        # 0.25); here the file is honored: {"voxel": {"isosurf_thres": x}}
+        self.isosurf_th = VOXEL_ISOSURF_TH
+        if param_f:
+            import json
+            with open(param_f) as f:
+                params = json.load(f)
+            self.isosurf_th = float(
+                params.get("voxel", {}).get("isosurf_thres", VOXEL_ISOSURF_TH))
 
     def visualize(self, pack: Dict, batch_idx: int, outdir: str) -> None:
         if self.pool is not None:
-            fut = self.pool.submit(self._visualize, pack, batch_idx, outdir)
+            fut = self.pool.submit(self._visualize, pack, batch_idx, outdir,
+                                   self.isosurf_th)
             fut.add_done_callback(self._check)
         else:
-            self._visualize(pack, batch_idx, outdir)
+            self._visualize(pack, batch_idx, outdir, self.isosurf_th)
 
     @staticmethod
     def _check(fut):
@@ -94,7 +105,8 @@ class Visualizer:
             print(f"visualizer error: {exc!r}")
 
     @classmethod
-    def _visualize(cls, pack: Dict, batch_idx: int, outdir: str) -> None:
+    def _visualize(cls, pack: Dict, batch_idx: int, outdir: str,
+                   isosurf_th: float = VOXEL_ISOSURF_TH) -> None:
         os.makedirs(outdir, exist_ok=True)
         bsize = cls._batch_size(pack)
         base = batch_idx * (bsize or 0)
@@ -110,12 +122,12 @@ class Visualizer:
             counter += 1
         for k in cls.voxels_gt:
             patt = join(outdir, "{:04d}_%02d_" % counter + k + ".obj")
-            cls._vis_voxel(pack.get(k), patt, base, VOXEL_ISOSURF_TH,
+            cls._vis_voxel(pack.get(k), patt, base, isosurf_th,
                            use_sigmoid=False)
             counter += 1
         for k in cls.voxels:
             patt = join(outdir, "{:04d}_%02d_" % counter + k + ".obj")
-            cls._vis_voxel(pack.get(k), patt, base, VOXEL_ISOSURF_TH)
+            cls._vis_voxel(pack.get(k), patt, base, isosurf_th)
             counter += 1
         for k in cls.txts:
             patt = join(outdir, "{:04d}_%02d_" % counter + k + ".txt")
