@@ -94,16 +94,66 @@ def main():
         print(f"wrote {args.dst} (resnet18 backbone)")
         return
 
-    nets = payload.get("nets", [payload])
-    converted = [convert_state_dict(sd) for sd in nets]
-    # NOTE: per-model name-mapping tables extend torch_layer_conversion as
-    # released checkpoints become available; this emits the raw arrays
-    # keyed by torch names so a mapping can be assembled per network.
+    nets = [convert_state_dict(sd) for sd in payload.get("nets", [payload])]
+    out_nets, net_names = convert_model_nets(args.net, nets)
     with open(args.dst, "wb") as f:
-        pickle.dump({"torch_nets": converted,
-                     "epoch": payload.get("epoch"),
-                     "net": args.net}, f)
-    print(f"wrote {args.dst} ({len(converted)} nets)")
+        pickle.dump({"nets": out_nets, "optimizers": [],
+                     "net_names": net_names, "opt_names": [],
+                     "epoch": payload.get("epoch", 0),
+                     "loss_eval": float(payload.get("loss_eval", 0.0))}, f)
+    print(f"wrote {args.dst} ({len(out_nets)} nets, {args.net})")
+
+
+def convert_model_nets(alias: str, nets: list):
+    """Map a reference checkpoint's ``nets`` list (torch state_dicts,
+    netinterface.py:405-412) to this framework's payload entries
+    ({params, batch_stats} per net, raw trees as train/state.py saves them).
+    Returns (entries, net_names).
+
+    Per-model layouts (reference ``self._nets``):
+      marrnet1:        [marrnet1.Net]                        (marrnet1.py:37)
+      marrnet2:        [marrnet2.Net]                        (marrnet2.py:35)
+      marrnet:         [Net(marrnet1+marrnet2)]              (marrnet.py:36)
+      wgangp:          [G, D]                                (wgangp.py:45)
+      shapehd:         [shapehd.Net(marrnet2+noft+d)]        (shapehd.py:41)
+      depth_inpaint:   [Net(net1+net2)]   (depth_pred_with_sph_inpaint.py:46)
+      genre_full_model: [Net(depth_and_inpaint+refine_net)]
+                                               (genre_full_model.py:45)
+    """
+    from torch_layer_conversion import (
+        _sub, convert_depth_inpaint_net, convert_genre_net,
+        convert_marrnet2_net, convert_shapehd_net, convert_uresnet_net,
+        convert_voxel_discriminator, convert_voxel_generator)
+
+    def entry(params, stats):
+        return {"params": params, "batch_stats": stats}
+
+    if alias == "marrnet1":
+        p, s = convert_uresnet_net(nets[0], ("normal", "depth", "silhou"),
+                                   pred_depth_minmax=True)
+        return [entry(p, s)], ["net"]
+    if alias == "marrnet2":
+        return [entry(*convert_marrnet2_net(nets[0]))], ["net"]
+    if alias == "marrnet":
+        p1, s1 = convert_uresnet_net(_sub(nets[0], "marrnet1"),
+                                     ("normal", "depth", "silhou"),
+                                     pred_depth_minmax=True)
+        p2, s2 = convert_marrnet2_net(_sub(nets[0], "marrnet2"))
+        return [entry({"marrnet1": p1, "marrnet2": p2},
+                      {"marrnet1": s1, "marrnet2": s2})], ["net"]
+    if alias == "wgangp":
+        g = entry(*convert_voxel_generator(nets[0]))
+        d_params, _ = convert_voxel_discriminator(nets[1])
+        return [g, entry(d_params, {})], ["net_g", "net_d"]
+    if alias == "shapehd":
+        mp, ms, np_, ns, dp = convert_shapehd_net(nets[0])
+        return ([entry(mp, ms), entry(np_, ns), entry(dp, {})],
+                ["net", "net_noft", "net_d"])
+    if alias in ("depth_pred_with_sph_inpaint", "depth_inpaint"):
+        return [entry(*convert_depth_inpaint_net(nets[0]))], ["net"]
+    if alias in ("genre_full_model", "genre"):
+        return [entry(*convert_genre_net(nets[0]))], ["net"]
+    raise SystemExit(f"no conversion table for model alias {alias!r}")
 
 
 if __name__ == "__main__":
