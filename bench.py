@@ -16,6 +16,7 @@ pipeline on its CUDA-9-era GPU.
 """
 
 import json
+import os
 import statistics
 import sys
 import time
@@ -23,8 +24,9 @@ import time
 sys.path.insert(0, ".")
 
 REFERENCE_RECONS_PER_SEC = 10.0   # conservative GPU-baseline estimate
-BATCH = 4
-N_ITER = 8
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+N_ITER = int(os.environ.get("BENCH_ITERS", "24"))
+PEAK_BF16_TFLOPS = 197.0          # TPU v5e (v5 lite) peak bf16
 
 
 def main():
@@ -67,11 +69,25 @@ def main():
         rates.append(BATCH * N_ITER / (time.perf_counter() - t0))
     recon_per_sec = statistics.median(rates)
 
+    # achieved TFLOP/s + MFU from XLA's own FLOP count of the forward
+    def fwd(params, bstats, rgb, silhou):
+        return model.net.apply(
+            {"params": params, "batch_stats": bstats}, rgb, silhou,
+            train=False)["pred_voxel"]
+
+    cost = jax.jit(fwd).lower(params, bstats, rgb, silhou) \
+        .compile().cost_analysis()
+    flops_per_call = float((cost or {}).get("flops", 0.0))
+    tflops = flops_per_call / BATCH * recon_per_sec / 1e12
+
     print(json.dumps({
         "metric": "genre_full_recon_per_sec_per_chip",
         "value": round(recon_per_sec, 2),
         "unit": "reconstructions/s",
         "vs_baseline": round(recon_per_sec / REFERENCE_RECONS_PER_SEC, 2),
+        "gflops_per_recon": round(flops_per_call / BATCH / 1e9, 1),
+        "achieved_tflops_per_s": round(tflops, 1),
+        "mfu": round(tflops / PEAK_BF16_TFLOPS, 3),
     }))
 
 

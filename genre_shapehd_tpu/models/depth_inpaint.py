@@ -73,11 +73,17 @@ class DepthInpaintNet(fnn.Module):
         if self.load_offline and spherical_depth is not None:
             sph_in = spherical_depth[..., 0]
         else:
-            from ..ops.render_sph_fast import render_spherical_fast
-            render = (ops.render_spherical if self.exact_render
-                      else render_spherical_fast)
-            sph_in = render(jnp.clip(proj * 50.0, 1e-5, 1.0 - 1e-5),
-                            self.sph_res, self.z_res)
+            clipped = jnp.clip(proj * 50.0, 1e-5, 1.0 - 1e-5)
+            if self.exact_render:
+                sph_in = ops.render_spherical(clipped, self.sph_res,
+                                              self.z_res)
+            else:
+                from ..ops.render_sph_fast import render_spherical_fast
+                # renderer contractions follow the model's compute dtype:
+                # bf16 runs the MXU at full rate (see render_sph_fast.py)
+                sph_in = render_spherical_fast(clipped, self.sph_res,
+                                               self.z_res,
+                                               compute_dtype=self.dtype)
         sph_in = ops.sph_pad(sph_in[..., None], self.padding_margin)
         out2 = self.net2(sph_in.astype(self.dtype), train=train)
         out1["proj_depth"] = proj * 50.0

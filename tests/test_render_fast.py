@@ -54,3 +54,16 @@ def test_fast_renderer_grad_finite():
         render_spherical_fast(v, 16, 32, rho_res=32, )))(vox)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_bf16_compute_dtype_close_to_f32():
+    """bf16 MXU contractions (the TPU fast path) stay within ~1% of f32:
+    operands are [0,1] probabilities/hat-weights, accumulation is f32."""
+    rng = np.random.default_rng(2)
+    vox = jnp.asarray(rng.random((1, 32, 32, 32)), jnp.float32)
+    R, Z = 32, 64
+    f32 = np.asarray(render_spherical_fast(vox, R, Z, rho_res=64))
+    bf16 = np.asarray(render_spherical_fast(
+        vox, R, Z, rho_res=64, compute_dtype=jnp.bfloat16))
+    assert np.abs(f32 - bf16).mean() < 5e-3
+    assert np.abs(f32 - bf16).max() < 5e-2
