@@ -42,10 +42,12 @@ def _conv3d_stride1_via2d(x, w, dtype):
     k, cout = w.shape[0], w.shape[-1]
     x2 = x.reshape(n * dp, hp, wp, cin)
     w2 = jnp.moveaxis(w, 0, 3).reshape(k, k, cin, k * cout).astype(dtype)
+    # NOTE: no preferred_element_type here -- mixed f32-out/bf16-in convs
+    # break the autodiff transpose; the MXU still accumulates each 2D
+    # conv in f32 internally, and the k depth adds below run in f32
     t = jax.lax.conv_general_dilated(
         x2, w2, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
     ho, wo = t.shape[1], t.shape[2]
     t = t.reshape(n, dp, ho, wo, k, cout)
     dout = dp - k + 1
@@ -85,10 +87,10 @@ def _conv3d_stride2_via2d(x, w, p, dtype):
         views = [xp[:, (o - omin):(o - omin) + dout] for o, _ in taps]
         x2 = jnp.concatenate(views, axis=-1).reshape(
             n * dout, hp, wp, len(taps) * cin)
+        # no preferred_element_type (see _conv3d_stride1_via2d)
         t = jax.lax.conv_general_dilated(
             x2, w2, (2, 2), [(p, p)] * 2,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
         t = t.reshape(n, dout, t.shape[1], t.shape[2], cout)
         acc = t if acc is None else acc + t
     return acc

@@ -1,0 +1,201 @@
+"""Pallas TPU kernels for the MXU spherical renderer's ray sampling.
+
+The XLA formulation (ops/render_sph_fast.py) is HBM-traffic-bound: its
+two per-stage einsum pairs materialize ~200MB intermediates (t1/t2) per
+angular chunk, ~13GB of HBM round-trips per batch-4 call -- measured
+15.8ms, exactly the traffic prediction at 819 GB/s.  These kernels fuse
+each stage's (matmul, diagonal-contraction) pair in VMEM so only the
+(B, Th, M, V) cylindrical intermediate ever touches HBM.
+
+Stage 1 (per theta, accumulated over x-chunks):
+    c[th, m, b, z] = sum_x wx[th, x, m] * sum_y vox[y, b, x, z] wy[th, y, m]
+Stage 2 (per phi):
+    out[ph, th, b, s] = sum_m wr[ph, m, s] * sum_z c[th, m, b, z] wz[ph, z, s]
+
+All dots are 2D with bf16 operands and f32 accumulation; every VMEM
+block keeps a >=8x128-tileable trailing pair.  The map is linear, and
+its custom VJP delegates to XLA's transpose of the einsum formulation
+(measured faster than hand-written adjoint grids), so the renderer
+trains end-to-end.
+
+Array layouts are chosen so no kernel transposes anything: the host
+wrapper pre-/post-transposes with XLA (HBM-speed copies).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..render_sph_fast import _stage_weights
+
+BF16 = jnp.bfloat16
+
+
+@functools.lru_cache(maxsize=4)
+def _pallas_weights_np(vox_res: int, sph_res: int, z_res: int,
+                       rho_res: int):
+    """bf16 numpy weight tensors in every orientation the kernels consume.
+
+    Cached as NUMPY (via ml_dtypes) -- caching jnp arrays would leak
+    tracers when first materialized inside a jit trace."""
+    import ml_dtypes
+    wx, wy, wz, wr = _stage_weights(vox_res, sph_res, z_res, rho_res)
+    bf = ml_dtypes.bfloat16
+    return {
+        "wx_t": np.asarray(np.swapaxes(wx, 1, 2), bf),     # (Th, M, X)
+        "wy_t": np.asarray(np.swapaxes(wy, 1, 2), bf),     # (Th, M, Y)
+        "wz": np.asarray(wz, bf),                          # (Ph, Z, S)
+        "wz_t": np.asarray(np.swapaxes(wz, 1, 2), bf),     # (Ph, S, Z)
+        "wr": np.asarray(wr, bf),                          # (Ph, M, S)
+    }
+
+
+def _pallas_weights(vox_res: int, sph_res: int, z_res: int, rho_res: int):
+    w = {k: jnp.asarray(v)
+         for k, v in _pallas_weights_np(vox_res, sph_res, z_res,
+                                        rho_res).items()}
+    # combined stage-1 weights W2[th, m, x*Y + y] = wx[th,x,m]*wy[th,y,m]:
+    # dense costs the same FLOPs as the factored two-step form (B*Z >> X)
+    # and runs stage 1 as ONE clean MXU dot per (theta, xy-chunk).
+    # Computed IN-GRAPH (~0.8GB at full scale): baking it as an HLO
+    # constant would blow the compile-request size; as a loop-invariant
+    # op XLA hoists it out of stepping loops.
+    th, m, v = w["wx_t"].shape
+    w["w2"] = (w["wx_t"][:, :, :, None]
+               * w["wy_t"][:, :, None, :]).reshape(th, m, v * v)
+    return w
+
+
+def _s1_kernel(vox2_ref, w2_ref, c_ref, acc):
+    """c[th, m, b*z] = W2[th] @ vox2, accumulated over xy-chunks."""
+    ik = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(ik == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    acc[:] += jnp.dot(w2_ref[0], vox2_ref[:],
+                      preferred_element_type=jnp.float32)  # (M, B*Z)
+
+    @pl.when(ik == nk - 1)
+    def _():
+        m, bz = acc.shape
+        b = c_ref.shape[1]
+        c_ref[0] = jnp.swapaxes(
+            acc[:].reshape(m, b, bz // b), 0, 1).astype(c_ref.dtype)
+
+
+def _s2_kernel(c_ref, wz_ref, wr_ref, out_ref):
+    """out[ph, th-chunk] from the resident c chunk (c: (Th, B, M, V))."""
+    tc, b, m, v = c_ref.shape
+    s = wz_ref.shape[2]
+    c2 = c_ref[:].reshape(tc * b * m, v)
+    t2 = jnp.dot(c2, wz_ref[0],
+                 preferred_element_type=jnp.float32)     # (Tc*B*M, S)
+    t2 = t2.reshape(tc, b, m, s)
+    wrb = wr_ref[0].astype(jnp.float32)                  # (M, S)
+    wq = jax.lax.broadcast_in_dim(wrb, t2.shape, (2, 3))
+    out_ref[0] = jnp.sum(t2 * wq, axis=2)
+
+
+def _common_sizes(v, sph_res):
+    kc = min(4096, v * v)
+    tc = min(8, sph_res)
+    return kc, tc
+
+
+def _s1_call(vox2, b, w, sph_res, rho_res, interpret):
+    """vox2: (X*Y, B*Z) -> c: (Th, B, M, V)."""
+    xy, bz = vox2.shape
+    v = bz // b
+    kc, _ = _common_sizes(v, sph_res)
+    return pl.pallas_call(
+        _s1_kernel,
+        grid=(sph_res, xy // kc),
+        in_specs=[
+            pl.BlockSpec((kc, bz), lambda it, ik: (ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rho_res, kc), lambda it, ik: (it, 0, ik),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, b, rho_res, v),
+                               lambda it, ik: (it, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((sph_res, b, rho_res, v), BF16),
+        scratch_shapes=[pltpu.VMEM((rho_res, bz), jnp.float32)],
+        interpret=interpret,
+    )(vox2, w["w2"])
+
+
+def _s2_call(c, w, z_res, interpret):
+    th, b, m, v = c.shape
+    _, tc = _common_sizes(v, th)
+    return pl.pallas_call(
+        _s2_kernel,
+        grid=(th // tc, th),        # (theta chunks, phi); Ph == Th
+        in_specs=[
+            pl.BlockSpec((tc, b, m, v), lambda it, ip: (it, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, v, z_res), lambda it, ip: (ip, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, z_res), lambda it, ip: (ip, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tc, b, z_res),
+                               lambda it, ip: (ip, it, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((th, th, b, z_res), jnp.float32),
+        interpret=interpret,
+    )(c, w["wz"], w["wr"])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def sample_rays_pallas(vox, vox_res, sph_res=128, z_res=256, rho_res=192,
+                       interpret=False):
+    """(N, V, V, V) -> (N, R, R, Z) ray samples; fused Pallas kernels.
+
+    ``vox_res`` must equal ``vox.shape[1]`` (passed separately so the
+    VJP, which never sees ``vox``, stays shape-static).  Same contract
+    as render_sph_fast.sample_rays_mxu (bf16 compute); parity pinned in
+    tests/test_pallas_render.py.
+    """
+    return _sample_fwd(vox, vox_res, sph_res, z_res, rho_res, interpret)[0]
+
+
+def _sample_fwd(vox, vox_res, sph_res, z_res, rho_res, interpret):
+    assert vox.shape[1] == vox_res, (vox.shape, vox_res)
+    b, v = vox.shape[0], vox_res
+    w = _pallas_weights(vox_res, sph_res, z_res, rho_res)
+    vox2 = jnp.transpose(vox.astype(BF16), (1, 2, 0, 3)).reshape(
+        v * v, b * v)                                        # (X*Y, B*Z)
+    c = _s1_call(vox2, b, w, sph_res, rho_res, interpret)    # (Th, B, M, V)
+    out_t = _s2_call(c, w, z_res, interpret)                 # (Ph, Th, B, S)
+    out = jnp.transpose(out_t, (2, 0, 1, 3))                 # (B, R, R, S)
+    return out, None
+
+
+def _sample_bwd(vox_res, sph_res, z_res, rho_res, interpret, _res, g):
+    """Adjoint via XLA's transpose of the einsum formulation.
+
+    The sampling map is linear, so its VJP needs no primals -- XLA
+    dead-code-eliminates the forward pass below and keeps only the
+    transposed contraction chain, which measures FASTER than custom
+    adjoint kernels here (the reverse einsums' intermediates tile
+    better under XLA than the fused accumulation grids)."""
+    from ..render_sph_fast import sample_rays_mxu
+    b = g.shape[0]
+    zeros = jnp.zeros((b, vox_res, vox_res, vox_res), jnp.float32)
+    _, vjp = jax.vjp(
+        lambda v: sample_rays_mxu(v, sph_res, z_res, rho_res,
+                                  compute_dtype=BF16), zeros)
+    return (vjp(g.astype(jnp.float32))[0],)
+
+
+sample_rays_pallas.defvjp(_sample_fwd, _sample_bwd)

@@ -157,13 +157,34 @@ def sample_rays_mxu(vox: jnp.ndarray, sph_res: int = 128, z_res: int = 256,
         vox.shape[0], sph_res, sph_res, z_res)
 
 
+def _use_pallas_default() -> bool:
+    """Fused Pallas kernels run on real TPU backends only; the XLA einsum
+    path serves CPU (tests, virtual meshes) and stays the parity oracle."""
+    import jax as _jax
+    return _jax.default_backend() not in ("cpu",)
+
+
 def render_spherical_fast(vox: jnp.ndarray, sph_res: int = 128,
                           z_res: int = 256, rho_res: int = RHO_RES,
-                          compute_dtype: jnp.dtype = jnp.float32
-                          ) -> jnp.ndarray:
-    """Drop-in replacement for ops.render_spherical (same contract)."""
-    prob = sample_rays_mxu(vox.astype(jnp.float32), sph_res, z_res, rho_res,
-                           compute_dtype=compute_dtype)
+                          compute_dtype: jnp.dtype = jnp.float32,
+                          use_pallas: bool | None = None) -> jnp.ndarray:
+    """Drop-in replacement for ops.render_spherical (same contract).
+
+    On TPU with bf16 compute the ray sampling runs as fused Pallas
+    kernels (ops/pallas/render_kernel.py), which cut the stage
+    intermediates' HBM round-trips; elsewhere (or for f32) the chunked
+    XLA einsum path is used.  Both are parity-tested against the exact
+    gather renderer."""
+    if use_pallas is None:
+        use_pallas = (compute_dtype == jnp.bfloat16 and
+                      _use_pallas_default())
+    if use_pallas:
+        from .pallas.render_kernel import sample_rays_pallas
+        prob = sample_rays_pallas(vox.astype(jnp.float32), vox.shape[1],
+                                  sph_res, z_res, rho_res)
+    else:
+        prob = sample_rays_mxu(vox.astype(jnp.float32), sph_res, z_res,
+                               rho_res, compute_dtype=compute_dtype)
     prob = jnp.clip(prob, 1e-5, 1.0 - 1e-5)
     stop = stop_probability(prob, axis=-1)
     depth_w = jnp.linspace(0.0, 1.0, z_res, dtype=prob.dtype)
