@@ -26,6 +26,14 @@ CROP_IN_SIZE = 480
 CROP_PAD = 85
 
 
+def _fetch_np(a):
+    """Device -> host, promoting bf16 to f32 (numpy/visualizer-safe)."""
+    out = np.asarray(a)
+    if out.dtype.name == "bfloat16":
+        out = out.astype(np.float32)
+    return out
+
+
 class TestMixin:
     """Mixin over a Model providing the reference test-time contract."""
 
@@ -69,9 +77,11 @@ class TestMixin:
         os.makedirs(outdir, exist_ok=True)
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
         pred = self._jit_predict(self.state, arrays)
-        pred = jax.tree.map(np.asarray, pred)
+        pred = jax.tree.map(_fetch_np, pred)
         output = self.pack_output(pred, batch, add_gt=False)
         self.visualizer.visualize(output, batch_i, outdir)
+        from ..utils.io import npz_compatible
         np.savez(outdir + ".npz",
-                 **{k: v for k, v in output.items() if v is not None})
+                 **{k: npz_compatible(v) for k, v in output.items()
+                    if v is not None})
         return output

@@ -105,9 +105,16 @@ def _s2_kernel(c_ref, wz_ref, wr_ref, out_ref):
     out_ref[0] = jnp.sum(t2 * wq, axis=2)
 
 
-def _common_sizes(v, sph_res):
-    kc = min(4096, v * v)
-    tc = min(8, sph_res)
+def _common_sizes(v, sph_res, b=4):
+    """VMEM-budgeted chunk sizes; scale down with batch so the resident
+    blocks (vox chunk ~ kc*b*v bf16, stage-2 t2 ~ tc*b*m*s f32) stay
+    within ~8MB each."""
+    def pow2_floor(x):
+        return 1 << (x.bit_length() - 1)
+
+    # powers of two so the chunks divide the (power-of-two) grid dims
+    kc = min(v * v, max(512, pow2_floor((4096 * 4) // max(b, 4))))
+    tc = min(sph_res, max(1, pow2_floor(32 // max(b, 1))))
     return kc, tc
 
 
@@ -115,7 +122,7 @@ def _s1_call(vox2, b, w, sph_res, rho_res, interpret):
     """vox2: (X*Y, B*Z) -> c: (Th, B, M, V)."""
     xy, bz = vox2.shape
     v = bz // b
-    kc, _ = _common_sizes(v, sph_res)
+    kc, _ = _common_sizes(v, sph_res, b)
     return pl.pallas_call(
         _s1_kernel,
         grid=(sph_res, xy // kc),
@@ -136,7 +143,7 @@ def _s1_call(vox2, b, w, sph_res, rho_res, interpret):
 
 def _s2_call(c, w, z_res, interpret):
     th, b, m, v = c.shape
-    _, tc = _common_sizes(v, th)
+    _, tc = _common_sizes(v, th, b)
     return pl.pallas_call(
         _s2_kernel,
         grid=(th // tc, th),        # (theta chunks, phi); Ph == Th

@@ -197,11 +197,13 @@ class Trainer:
             return
         outdir = os.path.join(opt.full_logdir, f"epoch{epoch:04d}_vali")
         os.makedirs(outdir, exist_ok=True)
-        pred_np = jax.tree.map(np.asarray, pred)
+        from ..models.test_base import _fetch_np
+        pred_np = jax.tree.map(_fetch_np, pred)
         output = self.model.pack_output(pred_np, batch)
         self.visualizer.visualize(output, batch_idx, outdir)
+        from ..utils.io import npz_compatible
         np.savez(os.path.join(outdir, f"batch{batch_idx:04d}"),
-                 **{k: v for k, v in output.items()
+                 **{k: npz_compatible(v) for k, v in output.items()
                     if isinstance(v, np.ndarray)})
 
     # --------------------------------------------------------------- train

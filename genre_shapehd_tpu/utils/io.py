@@ -47,11 +47,23 @@ def default_subset(batch: Any, start: int, end: int) -> Any:
     return batch[start:end]
 
 
+def npz_compatible(value: Any) -> Any:
+    """Promote non-native array dtypes (bfloat16) to float32.
+
+    np.savez serializes ml_dtypes arrays in a form np.load cannot
+    reconstruct; .npz artifacts must stay consumable by plain numpy."""
+    if isinstance(value, np.ndarray) and value.dtype.kind == "V":
+        return value.astype(np.float32)
+    if isinstance(value, np.ndarray) and value.dtype.name == "bfloat16":
+        return value.astype(np.float32)
+    return value
+
+
 def default_save(path: str, data: Any) -> None:
     if isinstance(data, dict):
-        np.savez(path, **data)
+        np.savez(path, **{k: npz_compatible(v) for k, v in data.items()})
     else:
-        np.savez(path, data=data)
+        np.savez(path, data=npz_compatible(data))
 
 
 class BatchSave:
