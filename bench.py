@@ -24,7 +24,7 @@ import time
 sys.path.insert(0, ".")
 
 REFERENCE_RECONS_PER_SEC = 10.0   # conservative GPU-baseline estimate
-BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 N_ITER = int(os.environ.get("BENCH_ITERS", "24"))
 PEAK_BF16_TFLOPS = 197.0          # TPU v5e (v5 lite) peak bf16
 
