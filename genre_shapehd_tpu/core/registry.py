@@ -25,6 +25,7 @@ _DATASET_MODULES: Dict[str, str] = {
     "shapenet": "genre_shapehd_tpu.data.shapenet",
     "test": "genre_shapehd_tpu.data.testset",
     "synthetic": "genre_shapehd_tpu.data.synthetic",
+    "procedural": "genre_shapehd_tpu.data.procedural",
 }
 
 

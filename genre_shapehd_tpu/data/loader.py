@@ -52,7 +52,12 @@ class DataLoader:
         self.epoch = 0
         assert 0 <= shard_id < num_shards, (shard_id, num_shards)
         assert batch_size % num_shards == 0, \
-            f"global batch {batch_size} must divide {num_shards} processes"
+            f"{num_shards} processes must divide global batch {batch_size}"
+        # with a short final batch the [lo:lo+k] slices would be unequal
+        # (possibly empty) across processes, breaking shard_batch's global
+        # shape assembly -- multi-host loading requires full batches
+        assert num_shards == 1 or drop_last, \
+            "num_shards > 1 requires drop_last=True (equal per-process shards)"
         self.shard_id = shard_id
         self.num_shards = num_shards
 

@@ -39,7 +39,8 @@ def default_opt(**overrides) -> SimpleNamespace:
         lr=1e-3, adam_beta1=0.5, adam_beta2=0.9, optim="adam", wdecay=0.0,
         sgd_momentum=0.9, sgd_dampening=0.0, sgd_wdecay=0.0,
         batch_size=4, epoch_batches=None, eval_batches=None, epoch=0,
-        logdir=None, full_logdir=None, log_time=False, manual_seed=None,
+        logdir=None, full_logdir=None, log_time=False, log_every=1,
+        manual_seed=None,
         im_size=256, vox_res=128, sph_res=128, z_res=256, padding_margin=16,
         dtype="float32",
         # model flags (reference add_arguments defaults)
@@ -49,6 +50,7 @@ def default_opt(**overrides) -> SimpleNamespace:
         wgangp_norm=1.0, gan_d_iter=1, marrnet1=None, marrnet2=None,
         gan=None, w_gan_loss=0.0, marrnet1_file=None, net_file=None,
         output_dir=None, backbone_init=None, sp=1, exact_render=False,
+        gt_depth_input=False, procedural_length=512, procedural_max_prims=4,
     )
     base.update(overrides)
     return SimpleNamespace(**base)

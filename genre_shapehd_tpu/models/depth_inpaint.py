@@ -44,6 +44,12 @@ class DepthInpaintNet(fnn.Module):
     #: of the MXU matmul formulation (ops/render_sph_fast.py, ~23x faster
     #: on TPU with ~1e-3 mean deviation)
     exact_render: bool = False
+    #: oracle mode for the procedural quality benchmark: feed GT depth +
+    #: minmax into the geometry chain instead of net1's predictions,
+    #: isolating cam_bp -> render -> inpaint -> sph_bp -> refine (the
+    #: data-side analog of the reference's --load_offline precomputed
+    #: spherical inputs, depth_pred_with_sph_inpaint.py:121-123)
+    gt_depth_input: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -63,10 +69,15 @@ class DepthInpaintNet(fnn.Module):
         return ops.coords.depth_image_to_cambp_frame(abs_depth[..., 0])
 
     def __call__(self, rgb, silhou, train: bool,
-                 spherical_depth=None) -> Dict[str, jnp.ndarray]:
+                 spherical_depth=None, gt_depth=None,
+                 gt_minmax=None) -> Dict[str, jnp.ndarray]:
         out1 = self.net1(rgb, train=train and self.joint_train)
         if not self.joint_train:
             out1 = jax.tree.map(jax.lax.stop_gradient, out1)
+        if self.gt_depth_input and gt_depth is not None:
+            out1 = dict(out1)
+            out1["depth"] = jax.lax.stop_gradient(gt_depth)
+            out1["depth_minmax"] = jax.lax.stop_gradient(gt_minmax)
         abs_depth = self.get_abs_depth(out1, silhou)
         proj = ops.camera_backproject_shifted(
             abs_depth, ops.FL_GENRE, ops.CAM_DIST, self.vox_res)
@@ -109,12 +120,16 @@ class Model(DepthModel):
                             help="use the gather-based spherical renderer "
                                  "(exact grid_sample parity) instead of the "
                                  "MXU matmul formulation")
+        parser.add_argument("--gt_depth_input", action="store_true",
+                            help="oracle mode: feed GT depth/minmax into "
+                                 "the geometry chain (quality benchmark)")
         return parser, {"joint_train"}
 
     def __init__(self, opt):
         opt.pred_depth_minmax = True
         super().__init__(opt)
         self.joint_train = bool(getattr(opt, "joint_train", False))
+        self.gt_depth_input = bool(getattr(opt, "gt_depth_input", False))
         if self.joint_train:
             self.requires = ["rgb", "depth", "silhou", "normal",
                              "depth_minmax", "spherical"]
@@ -126,6 +141,10 @@ class Model(DepthModel):
             self.requires = ["silhou", "rgb", "spherical"]
             self.gt_names = ["spherical_object"]
             self.metrics = ["loss", "spherical"]
+        if self.gt_depth_input:
+            for key in ("depth", "depth_minmax"):
+                if key not in self.requires:
+                    self.requires = self.requires + [key]
         self.input_names = ["rgb", "silhou", "spherical_depth"]
         self.net = DepthInpaintNet(
             im_size=opt.im_size, vox_res=opt.vox_res, sph_res=opt.sph_res,
@@ -133,6 +152,7 @@ class Model(DepthModel):
             joint_train=self.joint_train,
             load_offline=bool(getattr(opt, "load_offline", False)),
             exact_render=bool(getattr(opt, "exact_render", False)),
+            gt_depth_input=self.gt_depth_input,
             dtype=self.dtype)
         self.tx = self.adam()
 
@@ -174,6 +194,9 @@ class Model(DepthModel):
         kwargs = {}
         if self.net.load_offline:
             kwargs["spherical_depth"] = batch.get("spherical_depth")
+        if self.net.gt_depth_input:
+            kwargs["gt_depth"] = batch.get("depth")
+            kwargs["gt_minmax"] = batch.get("depth_minmax")
         if train:
             pred, mut = self.net.apply(
                 variables, batch["rgb"], batch["silhou"], train=True,

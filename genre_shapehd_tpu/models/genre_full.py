@@ -39,6 +39,7 @@ class GenreNet(fnn.Module):
     joint_train: bool = False
     load_offline: bool = False
     exact_render: bool = False
+    gt_depth_input: bool = False
     refine_nf: int = 20
     dtype: jnp.dtype = jnp.float32
 
@@ -47,7 +48,8 @@ class GenreNet(fnn.Module):
             im_size=self.im_size, vox_res=self.vox_res, sph_res=self.sph_res,
             z_res=self.z_res, padding_margin=self.padding_margin,
             joint_train=self.joint_train, load_offline=self.load_offline,
-            exact_render=self.exact_render, dtype=self.dtype)
+            exact_render=self.exact_render,
+            gt_depth_input=self.gt_depth_input, dtype=self.dtype)
         self.refine_net = UNet3D(nf=self.refine_nf, res=self.vox_res,
                                  dtype=self.dtype)
 
@@ -58,9 +60,11 @@ class GenreNet(fnn.Module):
             sph[..., 0].astype(jnp.float32), self.padding_margin,
             self.vox_res)
 
-    def __call__(self, rgb, silhou, train: bool, spherical_depth=None):
+    def __call__(self, rgb, silhou, train: bool, spherical_depth=None,
+                 gt_depth=None, gt_minmax=None):
         out1 = self.depth_and_inpaint(rgb, silhou, train=train,
-                                      spherical_depth=spherical_depth)
+                                      spherical_depth=spherical_depth,
+                                      gt_depth=gt_depth, gt_minmax=gt_minmax)
         if not self.joint_train:
             out1 = jax.tree.map(jax.lax.stop_gradient, out1)
         proj_depth = out1["proj_depth"]
@@ -95,6 +99,8 @@ class Model(DepthInpaintModel):
             self.requires = self.requires + ["voxel"]
         else:
             self.requires = ["rgb", "silhou", "voxel"]
+            if self.gt_depth_input:
+                self.requires = self.requires + ["depth", "depth_minmax"]
         self.gt_names = self.gt_names + ["voxel"]
         self.metrics = self.metrics + ["voxel_loss", "surface_loss"]
         self.surface_weight = float(getattr(opt, "surface_weight", 1.0))
@@ -104,6 +110,7 @@ class Model(DepthInpaintModel):
             joint_train=self.joint_train,
             load_offline=bool(getattr(opt, "load_offline", False)),
             exact_render=bool(getattr(opt, "exact_render", False)),
+            gt_depth_input=self.gt_depth_input,
             dtype=self.dtype)
         self.tx = self.adam()
 

@@ -123,6 +123,11 @@ def _s1_call(vox2, b, w, sph_res, rho_res, interpret):
     xy, bz = vox2.shape
     v = bz // b
     kc, _ = _common_sizes(v, sph_res, b)
+    # remainder chunks would be silently skipped by the grid floor-div:
+    # unsupported shapes must fail loudly (render_sph_fast gates the
+    # default route to supported shapes; this guards explicit callers)
+    assert xy % kc == 0, (xy, kc)
+    assert bz == b * v, (vox2.shape, b)
     return pl.pallas_call(
         _s1_kernel,
         grid=(sph_res, xy // kc),
@@ -144,6 +149,10 @@ def _s1_call(vox2, b, w, sph_res, rho_res, interpret):
 def _s2_call(c, w, z_res, interpret):
     th, b, m, v = c.shape
     _, tc = _common_sizes(v, th, b)
+    # the grid assumes a square (Ph == Th) angular grid and exact theta
+    # chunking; fail loudly instead of dropping remainder chunks
+    assert th % tc == 0, (th, tc)
+    assert w["wz"].shape[0] == th, (w["wz"].shape, th)
     return pl.pallas_call(
         _s2_kernel,
         grid=(th // tc, th),        # (theta chunks, phi); Ph == Th

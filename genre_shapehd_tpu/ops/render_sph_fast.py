@@ -157,11 +157,20 @@ def sample_rays_mxu(vox: jnp.ndarray, sph_res: int = 128, z_res: int = 256,
         vox.shape[0], sph_res, sph_res, z_res)
 
 
-def _use_pallas_default() -> bool:
+def _use_pallas_default(vox_res: int, sph_res: int, z_res: int) -> bool:
     """Fused Pallas kernels run on real TPU backends only; the XLA einsum
-    path serves CPU (tests, virtual meshes) and stays the parity oracle."""
+    path serves CPU (tests, virtual meshes) and stays the parity oracle.
+
+    Shape gate: the kernels' VMEM blocks need (8, 128)-tileable trailing
+    dims (vox_res as a minor axis, z_res as the stage-2 output minor) and
+    a square power-of-two angular grid -- reduced test resolutions fall
+    back to the XLA path instead of failing in Mosaic."""
     import jax as _jax
-    return _jax.default_backend() not in ("cpu",)
+    if _jax.default_backend() not in ("tpu", "axon"):
+        return False
+    pow2 = (sph_res & (sph_res - 1)) == 0
+    return vox_res % 128 == 0 and z_res % 128 == 0 and \
+        sph_res % 8 == 0 and pow2
 
 
 def render_spherical_fast(vox: jnp.ndarray, sph_res: int = 128,
@@ -177,7 +186,7 @@ def render_spherical_fast(vox: jnp.ndarray, sph_res: int = 128,
     gather renderer."""
     if use_pallas is None:
         use_pallas = (compute_dtype == jnp.bfloat16 and
-                      _use_pallas_default())
+                      _use_pallas_default(vox.shape[1], sph_res, z_res))
     if use_pallas:
         from .pallas.render_kernel import sample_rays_pallas
         prob = sample_rays_pallas(vox.astype(jnp.float32), vox.shape[1],

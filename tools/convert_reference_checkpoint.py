@@ -96,12 +96,14 @@ def main():
 
     nets = [convert_state_dict(sd) for sd in payload.get("nets", [payload])]
     out_nets, net_names = convert_model_nets(args.net, nets)
+    out_opts, opt_names = convert_model_optimizers(args.net, payload, nets)
     with open(args.dst, "wb") as f:
-        pickle.dump({"nets": out_nets, "optimizers": [],
-                     "net_names": net_names, "opt_names": [],
+        pickle.dump({"nets": out_nets, "optimizers": out_opts,
+                     "net_names": net_names, "opt_names": opt_names,
                      "epoch": payload.get("epoch", 0),
                      "loss_eval": float(payload.get("loss_eval", 0.0))}, f)
-    print(f"wrote {args.dst} ({len(out_nets)} nets, {args.net})")
+    print(f"wrote {args.dst} ({len(out_nets)} nets, "
+          f"{len(out_opts)} optimizers, {args.net})")
 
 
 def convert_model_nets(alias: str, nets: list):
@@ -154,6 +156,114 @@ def convert_model_nets(alias: str, nets: list):
     if alias in ("genre_full_model", "genre"):
         return [entry(*convert_genre_net(nets[0]))], ["net"]
     raise SystemExit(f"no conversion table for model alias {alias!r}")
+
+
+# --------------------------------------------------------------- optimizers
+
+_BUFFER_SUFFIXES = ("running_mean", "running_var", "num_batches_tracked")
+
+
+def _param_names(sd: dict) -> list:
+    """Names of optimisable parameters in torch ``state_dict`` order --
+    identical to ``module.parameters()`` order (buffers filtered out)."""
+    return [k for k in sd if not k.endswith(_BUFFER_SUFFIXES)]
+
+
+def _opt_np(v):
+    return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                      else v)
+
+
+def _moment_sds(net_sd: dict, opt_sd: dict, param_filter=None):
+    """Build state_dict twins holding Adam moments instead of weights.
+
+    ``opt_sd`` is a torch ``Optimizer.state_dict()``
+    ({'state': {idx: {step, exp_avg, exp_avg_sq}}, 'param_groups': [...]}),
+    whose indices follow ``parameters()`` order (netinterface.py:405-412
+    saves them verbatim).  Non-optimised entries (buffers, filtered params)
+    become zeros, so frozen sub-nets resume with empty moments.
+    Returns (mu_sd, nu_sd, step_count).
+    """
+    names = [k for k in _param_names(net_sd)
+             if param_filter is None or param_filter(k)]
+    ids = [pid for g in opt_sd.get("param_groups", []) for pid in g["params"]]
+    assert len(ids) == len(names), \
+        f"optimizer covers {len(ids)} params, expected {len(names)}"
+    mu = {k: np.zeros_like(np.asarray(v)) for k, v in net_sd.items()}
+    nu = {k: np.zeros_like(np.asarray(v)) for k, v in net_sd.items()}
+    count = 0
+    state = opt_sd.get("state", {})
+    for name, pid in zip(names, ids):
+        st = state.get(pid) or state.get(str(pid))
+        if st is None:          # param never stepped (torch lazy state)
+            continue
+        mu[name] = _opt_np(st["exp_avg"])
+        nu[name] = _opt_np(st["exp_avg_sq"])
+        count = max(count, int(_opt_np(st["step"])))
+    return mu, nu, count
+
+
+def convert_model_optimizers(alias: str, payload, nets: list):
+    """torch Adam states -> optax ``adam`` states parallel to this
+    framework's ``optimizer_names``.
+
+    The layout transforms applied to each weight (transposes/tap flips)
+    are pure element reorderings, and Adam is elementwise, so applying the
+    SAME table to exp_avg/exp_avg_sq yields moment trees whose resume
+    updates match torch exactly (pinned by
+    tests/test_optimizer_conversion.py).  Assumes the reference's
+    single-param-group Adam with wdecay 0 (options_train.py defaults; all
+    launch scripts leave --wdecay unset), i.e. the optax state shape
+    ``(ScaleByAdamState, EmptyState)``.
+    """
+    import optax
+
+    opts = payload.get("optimizers") or []
+    if not opts:
+        return [], []
+
+    def opt_sd(o):
+        # tolerate both raw state_dicts and pickled Optimizer objects
+        return o if isinstance(o, dict) else o.state_dict()
+
+    def adam_state(mu_entries, nu_entries, idx, count):
+        return (optax.ScaleByAdamState(
+            count=np.asarray(count, np.int32),
+            mu=mu_entries[idx]["params"], nu=nu_entries[idx]["params"]),
+            optax.EmptyState())
+
+    if alias == "wgangp":
+        out = []
+        for i in range(2):
+            mu_sd, nu_sd, cnt = _moment_sds(nets[i], opt_sd(opts[i]))
+            # convert both nets per moment kind; pick this net's entry
+            mu_e, _ = convert_model_nets(alias, [mu_sd if j == i else nets[j]
+                                                 for j in range(2)])
+            nu_e, _ = convert_model_nets(alias, [nu_sd if j == i else nets[j]
+                                                 for j in range(2)])
+            out.append(adam_state(mu_e, nu_e, i, cnt))
+        return out, ["net_g", "net_d"]
+
+    if alias == "shapehd":
+        # reference finetunes net.marrnet2 only (shapehd.py:42-46); our
+        # opt_state["net"] spans exactly that subtree (entry 0)
+        mu_sd, nu_sd, cnt = _moment_sds(
+            nets[0], opt_sd(opts[0]),
+            param_filter=lambda k: k.startswith("marrnet2."))
+        mu_e, _ = convert_model_nets(alias, [mu_sd])
+        nu_e, _ = convert_model_nets(alias, [nu_sd])
+        return [adam_state(mu_e, nu_e, 0, cnt)], ["net"]
+
+    # marrnet also finetunes only its marrnet2 half (marrnet.py:37-41),
+    # but our opt tree spans the whole net -- frozen half keeps zero moments
+    flt = (lambda k: k.startswith("marrnet2.")) if alias == "marrnet" \
+        else None
+    # single net, single optimizer over (a subset of) net.parameters()
+    mu_sd, nu_sd, cnt = _moment_sds(nets[0], opt_sd(opts[0]),
+                                    param_filter=flt)
+    mu_e, _ = convert_model_nets(alias, [mu_sd])
+    nu_e, _ = convert_model_nets(alias, [nu_sd])
+    return [adam_state(mu_e, nu_e, 0, cnt)], ["net"]
 
 
 if __name__ == "__main__":
