@@ -56,8 +56,10 @@ def convert_state_dict(sd: dict) -> dict:
     {name: {kind, arrays}} records for manual tree assembly."""
     out = {}
     for k, v in sd.items():
-        out[k] = np.asarray(v.detach().cpu().numpy()
-                            if hasattr(v, "detach") else v)
+        # copy: .numpy() aliases torch storage, and optimizers mutate
+        # parameters/moments in place
+        out[k] = np.array(v.detach().cpu().numpy()
+                          if hasattr(v, "detach") else v)
     return out
 
 
@@ -170,8 +172,9 @@ def _param_names(sd: dict) -> list:
 
 
 def _opt_np(v):
-    return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
-                      else v)
+    # np.array (not asarray): never alias torch storage
+    return np.array(v.detach().cpu().numpy() if hasattr(v, "detach")
+                    else v)
 
 
 def _moment_sds(net_sd: dict, opt_sd: dict, param_filter=None):
