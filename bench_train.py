@@ -2,13 +2,20 @@
 
 Times the complete jitted train step (forward + backward + Adam update +
 BatchNorm stat updates) at reference scale (batch 4, 256^2 images, 128^3
-voxels; scripts/train_full_genre.sh) INCLUDING the host input pipeline
-(synthetic dataset -> threaded prefetch -> device_put), i.e. the number a
-user would see per step of `cli/train.py --net genre_full_model`.
+voxels; scripts/train_full_genre.sh) three ways:
 
-Prints ONE JSON line like bench.py.  The steps are timed through the
-trainer's real _run_phase-equivalent loop: metric fetch each step forces
-completion (the axon relay acks unfetched buffers early; see bench.py).
+  * device_step_sec -- pure device compute: an in-graph ``lax.fori_loop``
+    chains N train steps through the state (serial dependency), one
+    launch, one value fetch.  No host pipeline at all.
+  * e2e (per-step metric fetch) -- the reference-faithful loop: dataset ->
+    threaded prefetch -> device_put -> step -> ``float(loss)`` each step.
+    The per-step fetch syncs the pipeline on the loss, which is ready
+    before the backward/update tail, so each step pays host dead time.
+  * e2e (log_every=4) -- the trainer's deferred-fetch mode: identical
+    logging values, fetched in batches of 4, steps dispatch back-to-back.
+
+Prints ONE JSON line.  The device/e2e split quantifies the host gap the
+round-2 review flagged; the deferred mode is what closes it.
 """
 
 import json
@@ -20,10 +27,12 @@ sys.path.insert(0, ".")
 
 BATCH = 4
 STEPS = 12
+DEV_ITERS = 8
 
 
 def main():
     import jax
+    import jax.numpy as jnp
     from genre_shapehd_tpu.core.cache import enable_compile_cache
     from genre_shapehd_tpu.core.registry import get_dataset, get_model
     from genre_shapehd_tpu.data.loader import DataLoader, InfiniteLoader
@@ -42,27 +51,68 @@ def main():
     state = trainer.initialize(jax.random.PRNGKey(0))
     it = InfiniteLoader(loader)
 
-    # warm up: compile + one steady step
-    times = []
-    rng = jax.random.PRNGKey(1)
-    prev = time.perf_counter()
-    for i, (dev_batch, _, _, _) in enumerate(
-            trainer._prefetched(it, STEPS)):
-        state, metrics = trainer._train_step(
-            state, dev_batch, jax.random.fold_in(rng, i))
-        float(metrics["loss"])          # force completion via value fetch
-        now = time.perf_counter()
-        if i >= 2:                      # drop compile + async head start
-            times.append(now - prev)
-        prev = now
-    trainer.state = state
+    # one fixed device batch for the pure-device measurement
+    first = next(iter(loader))
+    dev_batch0, _ = trainer._device_batch(first)
 
-    step = statistics.median(times)
+    def decompress(b):
+        return {k: (v.astype(jnp.float32) if v.dtype == jnp.uint8 else v)
+                for k, v in b.items()}
+
+    @jax.jit
+    def chained(state, batch, rng):
+        def body(i, carry):
+            st, acc = carry
+            st, metrics = model.train_step(
+                st, decompress(batch), jax.random.fold_in(rng, i))
+            return (st, acc + metrics["loss"].astype(jnp.float32))
+        _, acc = jax.lax.fori_loop(0, DEV_ITERS, body,
+                                   (state, jnp.float32(0)))
+        return acc
+
+    rng = jax.random.PRNGKey(1)
+    float(chained(state, dev_batch0, rng))       # compile + warm
+    dev_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained(state, dev_batch0, rng))
+        dev_times.append((time.perf_counter() - t0) / DEV_ITERS)
+    device_step = statistics.median(dev_times)
+
+    def e2e(log_every: int) -> float:
+        times = []
+        st = trainer.initialize(jax.random.PRNGKey(0))
+        pend = []
+        prev = time.perf_counter()
+        for i, (dev_batch, _, _, _) in enumerate(
+                trainer._prefetched(it, STEPS)):
+            st, metrics = trainer._train_step(
+                st, dev_batch, jax.random.fold_in(rng, i))
+            pend.append(metrics)
+            if len(pend) >= log_every:
+                for m in pend:
+                    float(m["loss"])
+                pend.clear()
+            now = time.perf_counter()
+            if i >= 2:                  # drop compile + async head start
+                times.append(now - prev)
+            prev = now
+        for m in pend:
+            float(m["loss"])
+        return statistics.median(times)
+
+    step_sync = e2e(1)
+    step_deferred = e2e(4)
+
     print(json.dumps({
         "metric": "genre_full_train_step_sec_batch4",
-        "value": round(step, 4),
-        "unit": "s/step (incl. host pipeline)",
-        "examples_per_sec": round(BATCH / step, 2),
+        "value": round(step_deferred, 4),
+        "unit": "s/step e2e (host pipeline, log_every=4)",
+        "examples_per_sec": round(BATCH / step_deferred, 2),
+        "device_step_sec": round(device_step, 4),
+        "e2e_per_step_fetch_sec": round(step_sync, 4),
+        "host_gap_sec": round(step_deferred - device_step, 4),
+        "device_fraction": round(device_step / step_deferred, 3),
     }))
 
 

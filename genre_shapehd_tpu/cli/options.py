@@ -49,6 +49,10 @@ def add_general_arguments(parser: argparse.ArgumentParser) -> Set[str]:
                         help="evaluate before training starts")
     parser.add_argument("--log_time", action="store_true",
                         help="log batch_time/data_time")
+    parser.add_argument("--log_every", type=int, default=1,
+                        help="defer train metric fetches by up to N steps "
+                             "(same values/order; avoids a per-step device "
+                             "sync -- see train/loop.py)")
     # network
     parser.add_argument("--net", type=str, required=True, help="model alias")
     # optimization

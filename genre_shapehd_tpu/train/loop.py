@@ -34,6 +34,13 @@ class Trainer:
         self.logger.add_logger(self.cumulator)
         self.mesh = mesh or pmesh.make_mesh()
         pmesh.set_active_mesh(self.mesh)
+        # XLA:CPU runs virtual-device collectives on a small shared thread
+        # pool; overlapping two collective programs (step i's gradient
+        # all-reduce still in flight while step i+1 launches -- metrics
+        # only depend on the loss, so their fetch does not drain the
+        # program) can deadlock the 8-way rendezvous on few-core hosts.
+        # Serialize program launches on CPU; TPU keeps async dispatch.
+        self._serialize_steps = jax.default_backend() == "cpu"
         self.visualizer = visualizer
         self.state = None
         self.start_epoch = 0
@@ -150,14 +157,31 @@ class Trainer:
 
     def _run_phase(self, epoch: int, data_iter, steps: int, rng: jax.Array,
                    training: bool) -> Dict[str, float]:
+        """Metric fetches are deferred by up to ``opt.log_every`` steps
+        during training (default 1 = reference-faithful per-batch logging):
+        a per-step ``float(metrics)`` SYNCS the pipeline on the loss, which
+        is ready long before the gradient all-reduce/update tail -- so
+        every step pays a host round-trip of dead time.  Buffering the tiny
+        device scalars and flushing every k steps keeps logging exact
+        (same values, same order) while steps dispatch back-to-back."""
         logger = self.logger
         logger.train() if training else logger.eval()
         logger.on_epoch_begin(epoch)
         t_end = time.time()
         eval_pred = None
+        log_every = max(int(getattr(self.opt, "log_every", 1) or 1), 1) \
+            if training else 1
+        pending = []
+
+        def flush():
+            for i0, m_dev, base in pending:
+                m = {k: float(v) for k, v in jax.device_get(m_dev).items()}
+                logger.on_batch_begin(i0)
+                logger.on_batch_end(i0, {**base, **m})
+            pending.clear()
+
         for i, (dev_batch, rest, batch, data_time) in enumerate(
                 self._prefetched(data_iter, steps)):
-            logger.on_batch_begin(i)
             step_rng = jax.random.fold_in(rng, epoch * 1_000_003 + i
                                           + (0 if training else 500_000))
             if training:
@@ -167,18 +191,19 @@ class Trainer:
                 metrics, eval_pred = self._eval_step(
                     self.state, dev_batch, step_rng)
                 self._maybe_visualize(epoch, i, eval_pred, batch)
-            # one D2H transfer for all metrics (per-float fetches cost one
-            # relay round trip each)
-            metrics = {k: float(v)
-                       for k, v in jax.device_get(metrics).items()}
+            if self._serialize_steps:
+                jax.block_until_ready(self.state if training else eval_pred)
             batch_time = time.time() - t_end
             size = rest.get("_true_size", self.opt.batch_size)
-            batch_log = {"size": size, **metrics}
+            base = {"size": size}
             if getattr(self.opt, "log_time", False):
-                batch_log["batch_time"] = batch_time
-                batch_log["data_time"] = data_time
-            logger.on_batch_end(i, batch_log)
+                base["batch_time"] = batch_time
+                base["data_time"] = data_time
+            pending.append((i, metrics, base))
+            if len(pending) >= log_every:
+                flush()
             t_end = time.time()
+        flush()
         epoch_log = self.cumulator.get_epoch_log()
         logger.on_epoch_end(epoch, epoch_log)
         self._last_eval_pred = eval_pred
