@@ -172,6 +172,121 @@ def _s2_call(c, w, z_res, interpret):
     )(c, w["wz"], w["wr"])
 
 
+def _s2scan_kernel(c_ref, wz_ref, wr_ref, out_ref):
+    """Fused stage 2 + first-hit scan: expected depth per (phi, theta, b).
+
+    Extends _s2_kernel with the renderer's epilogue IN VMEM -- clip,
+    stop-probability scan (exclusive prefix sums of log1p(-p) as one
+    strictly-lower-triangular f32 matmul on the MXU) and the
+    expected-depth reduction -- so the (B, R, R, Z) ray-sample tensor
+    never exists in HBM (134MB + several scan passes per batch-8 call).
+    Output lane width is a 128-padded singleton: [..., 0] holds E[depth]
+    (+ background term), the rest zeros.
+    """
+    tc, b, m, v = c_ref.shape
+    s = wz_ref.shape[2]
+    c2 = c_ref[:].reshape(tc * b * m, v)
+    t2 = jnp.dot(c2, wz_ref[0],
+                 preferred_element_type=jnp.float32)     # (Tc*B*M, S)
+    t2 = t2.reshape(tc, b, m, s)
+    wrb = wr_ref[0].astype(jnp.float32)                  # (M, S)
+    wq = jax.lax.broadcast_in_dim(wrb, t2.shape, (2, 3))
+    p = jnp.sum(t2 * wq, axis=2)                         # (tc, b, S)
+    p = jnp.clip(p, 1e-5, 1.0 - 1e-5)                    # reference clamp
+    lg = jnp.log1p(-p)
+    # cum[z] = sum_{z'<z} lg[z']: strictly-lower-triangular ones matmul
+    # (f32 on the MXU; rows = tc*b = tiny, so multi-pass f32 is free)
+    row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    ltri = (row < col).astype(jnp.float32)
+    cum = jnp.dot(lg.reshape(tc * b, s), ltri,
+                  preferred_element_type=jnp.float32).reshape(tc, b, s)
+    stop = p * jnp.exp(cum)                              # first-hit prob
+    zidx = jax.lax.broadcasted_iota(jnp.int32, (tc, b, s), 2)
+    dw = zidx.astype(jnp.float32) / float(s - 1)
+    bg = jnp.exp(cum[..., -1] + lg[..., -1])             # prod(1 - p)
+    expd = jnp.sum(stop * dw, axis=-1) + bg              # (tc, b)
+    width = out_ref.shape[3]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tc, b, width), 2)
+    out_ref[0] = jnp.where(lane == 0, expd[..., None], 0.0
+                           ).astype(out_ref.dtype)
+
+
+def _s2scan_call(c, w, z_res, interpret):
+    th, b, m, v = c.shape
+    _, tc = _common_sizes(v, th, b)
+    assert th % tc == 0, (th, tc)
+    assert w["wz"].shape[0] == th, (w["wz"].shape, th)
+    out = pl.pallas_call(
+        _s2scan_kernel,
+        grid=(th // tc, th),        # (theta chunks, phi); Ph == Th
+        in_specs=[
+            pl.BlockSpec((tc, b, m, v), lambda it, ip: (it, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, v, z_res), lambda it, ip: (ip, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, z_res), lambda it, ip: (ip, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tc, b, 128),
+                               lambda it, ip: (ip, it, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((th, th, b, 128), jnp.float32),
+        interpret=interpret,
+    )(c, w["wz"], w["wr"])
+    return out[..., 0]                                   # (Ph, Th, B)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def render_expected_depth_pallas(vox, vox_res, sph_res=128, z_res=256,
+                                 rho_res=192, interpret=False):
+    """(N, V, V, V) clipped occupancy -> (N, R, R) expected-depth map,
+    fully fused: stage-1/stage-2 resampling + stop-probability scan +
+    depth reduction, with only the (Th, B, M, V) cylindrical intermediate
+    and the tiny output touching HBM.
+
+    Same semantics as ops.render_spherical / render_sph_fast's epilogue
+    (clip to [1e-5, 1-1e-5], first-hit expectation, background ~1).
+    Backward rematerializes through the XLA einsum formulation from the
+    saved primal input (the scan is nonlinear; saving ray samples would
+    defeat the traffic win), so training pays the fused forward plus the
+    usual XLA backward.  Parity: tests/test_pallas_render.py.
+    """
+    return _render_expd_fwd(vox, vox_res, sph_res, z_res, rho_res,
+                            interpret)[0]
+
+
+def _render_expd_fwd(vox, vox_res, sph_res, z_res, rho_res, interpret):
+    assert vox.shape[1] == vox_res, (vox.shape, vox_res)
+    b, v = vox.shape[0], vox_res
+    w = _pallas_weights(vox_res, sph_res, z_res, rho_res)
+    vox2 = jnp.transpose(vox.astype(BF16), (1, 2, 0, 3)).reshape(
+        v * v, b * v)
+    c = _s1_call(vox2, b, w, sph_res, rho_res, interpret)
+    out_t = _s2scan_call(c, w, z_res, interpret)         # (Ph, Th, B)
+    return jnp.transpose(out_t, (2, 0, 1)), vox
+
+
+def _render_expd_bwd(vox_res, sph_res, z_res, rho_res, interpret, vox, g):
+    from ..render_sph_fast import sample_rays_mxu
+    from ..stop_prob import stop_probability
+
+    def xla_render(v):
+        prob = sample_rays_mxu(v, sph_res, z_res, rho_res,
+                               compute_dtype=BF16)
+        prob = jnp.clip(prob, 1e-5, 1.0 - 1e-5)
+        stop = stop_probability(prob, axis=-1)
+        depth_w = jnp.linspace(0.0, 1.0, z_res, dtype=prob.dtype)
+        return (jnp.einsum("nrsz,z->nrs", stop, depth_w)
+                + jnp.prod(1.0 - prob, axis=-1))
+
+    _, vjp = jax.vjp(xla_render, vox)
+    return (vjp(g)[0],)
+
+
+render_expected_depth_pallas.defvjp(_render_expd_fwd, _render_expd_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
 def sample_rays_pallas(vox, vox_res, sph_res=128, z_res=256, rho_res=192,
                        interpret=False):

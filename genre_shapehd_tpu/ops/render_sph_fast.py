@@ -188,12 +188,14 @@ def render_spherical_fast(vox: jnp.ndarray, sph_res: int = 128,
         use_pallas = (compute_dtype == jnp.bfloat16 and
                       _use_pallas_default(vox.shape[1], sph_res, z_res))
     if use_pallas:
-        from .pallas.render_kernel import sample_rays_pallas
-        prob = sample_rays_pallas(vox.astype(jnp.float32), vox.shape[1],
-                                  sph_res, z_res, rho_res)
-    else:
-        prob = sample_rays_mxu(vox.astype(jnp.float32), sph_res, z_res,
-                               rho_res, compute_dtype=compute_dtype)
+        # fully fused: resampling + clip + stop-probability scan +
+        # expected-depth reduction in one kernel chain; the (N, R, R, Z)
+        # ray-sample tensor never reaches HBM
+        from .pallas.render_kernel import render_expected_depth_pallas
+        return render_expected_depth_pallas(
+            vox.astype(jnp.float32), vox.shape[1], sph_res, z_res, rho_res)
+    prob = sample_rays_mxu(vox.astype(jnp.float32), sph_res, z_res,
+                           rho_res, compute_dtype=compute_dtype)
     prob = jnp.clip(prob, 1e-5, 1.0 - 1e-5)
     stop = stop_probability(prob, axis=-1)
     depth_w = jnp.linspace(0.0, 1.0, z_res, dtype=prob.dtype)
