@@ -204,12 +204,12 @@ def _s2scan_kernel(c_ref, wz_ref, wr_ref, out_ref):
     stop = p * jnp.exp(cum)                              # first-hit prob
     zidx = jax.lax.broadcasted_iota(jnp.int32, (tc, b, s), 2)
     dw = zidx.astype(jnp.float32) / float(s - 1)
-    bg = jnp.exp(cum[..., -1] + lg[..., -1])             # prod(1 - p)
+    bg = jnp.exp(jnp.sum(lg, axis=-1))                   # prod(1 - p)
     expd = jnp.sum(stop * dw, axis=-1) + bg              # (tc, b)
     width = out_ref.shape[3]
     lane = jax.lax.broadcasted_iota(jnp.int32, (tc, b, width), 2)
-    out_ref[0] = jnp.where(lane == 0, expd[..., None], 0.0
-                           ).astype(out_ref.dtype)
+    expd_w = jax.lax.broadcast_in_dim(expd, (tc, b, width), (0, 1))
+    out_ref[0] = jnp.where(lane == 0, expd_w, 0.0).astype(out_ref.dtype)
 
 
 def _s2scan_call(c, w, z_res, interpret):
