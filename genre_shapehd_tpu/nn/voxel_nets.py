@@ -43,11 +43,14 @@ def _conv3d_stride1_via2d(x, w, dtype):
     x2 = x.reshape(n * dp, hp, wp, cin)
     w2 = jnp.moveaxis(w, 0, 3).reshape(k, k, cin, k * cout).astype(dtype)
     # NOTE: no preferred_element_type here -- mixed f32-out/bf16-in convs
-    # break the autodiff transpose; the MXU still accumulates each 2D
-    # conv in f32 internally, and the k depth adds below run in f32
+    # break the autodiff transpose; the MXU accumulates each 2D conv in
+    # f32 internally.  The k depth adds run in the compute dtype: for bf16
+    # models the f32 round-trip doubled the traffic of the biggest
+    # intermediate for a <=0.4% quantization the network carries anyway
+    acc_dt = jnp.float32 if dtype == jnp.float32 else dtype
     t = jax.lax.conv_general_dilated(
         x2, w2, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(acc_dt)
     ho, wo = t.shape[1], t.shape[2]
     t = t.reshape(n, dp, ho, wo, k, cout)
     dout = dp - k + 1
@@ -90,9 +93,68 @@ def _conv3d_stride2_via2d(x, w, p, dtype):
         # no preferred_element_type (see _conv3d_stride1_via2d)
         t = jax.lax.conv_general_dilated(
             x2, w2, (2, 2), [(p, p)] * 2,
-            dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
+            dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(
+                jnp.float32 if dtype == jnp.float32 else dtype)
         t = t.reshape(n, dout, t.shape[1], t.shape[2], cout)
         acc = t if acc is None else acc + t
+    return acc
+
+
+def _conv3d_stride2_tapstack(x, w, p, dtype):
+    """Conv3d(k, s=2, p) as ONE stride-2 2D conv with ALL depth taps
+    stacked into the output-channel dim + k stride-2-aligned adds (exact).
+
+    FLOP-equal to the per-phase split (_conv3d_stride2_via2d) -- the 2D
+    conv runs over all D input slices instead of D/2 per phase twice --
+    but the GEMM output width is k*cout instead of cout, which keeps the
+    MXU lanes fed when cout is small (this U-Net family: cout 20..80).
+    Selected per geometry by measurement (tools/probe_conv_impls.py).
+    """
+    n, d, hp, wp, cin = x.shape
+    k, cout = w.shape[0], w.shape[-1]
+    dout = d // 2
+    x2 = x.reshape(n * d, hp, wp, cin)
+    w2 = jnp.moveaxis(w, 0, 3).reshape(k, k, cin, k * cout).astype(dtype)
+    t = jax.lax.conv_general_dilated(
+        x2, w2, (2, 2), [(p, p)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(
+            jnp.float32 if dtype == jnp.float32 else dtype)
+    ho, wo = t.shape[1], t.shape[2]
+    t = t.reshape(n, d, ho, wo, k, cout)
+    tp = jnp.pad(t, ((0, 0), (k, k), (0, 0), (0, 0), (0, 0), (0, 0)))
+    acc = None
+    for kd in range(k):
+        # input depth for output o at tap kd: 2*o + kd - p
+        start = k + kd - p
+        sl = tp[:, start:start + 2 * dout:2, :, :, kd]
+        acc = sl if acc is None else acc + sl
+    return acc
+
+
+def _conv3d_stride1_gemm(xb, w, dtype):
+    """VALID stride-1 3D conv as ONE 1x1 GEMM + k^3 shifted adds (exact).
+
+    Full tap unfold: every tap's contribution for every input pixel comes
+    out of a single (pixels, cin) x (cin, k^3*cout) matmul; the k^3
+    shifted adds assemble outputs.  Only sensible for tiny k and cout
+    (the U-Net's final deconvs), where the alternative GEMM width
+    k*cout starves the MXU and the t tensor stays moderate.
+    """
+    n, dp, hp, wp, cin = xb.shape
+    k, cout = w.shape[0], w.shape[-1]
+    wflat = jnp.transpose(w, (3, 0, 1, 2, 4)).reshape(
+        cin, k * k * k * cout).astype(dtype)
+    t = jnp.einsum("ndhwc,ce->ndhwe", xb.astype(dtype), wflat,
+                   preferred_element_type=jnp.float32).astype(
+        jnp.float32 if dtype == jnp.float32 else dtype)
+    t = t.reshape(n, dp, hp, wp, k, k, k, cout)
+    dd, hh, ww = dp - k + 1, hp - k + 1, wp - k + 1
+    acc = None
+    for a in range(k):
+        for b in range(k):
+            for c in range(k):
+                sl = t[:, a:a + dd, b:b + hh, c:c + ww, a, b, c]
+                acc = sl if acc is None else acc + sl
     return acc
 
 
@@ -113,10 +175,16 @@ class SubpixelTConv3D(nn.Module):
     flax tap order, bias (O,)), so checkpoints and the torch conversion
     tables (tools/torch_layer_conversion.py) are unaffected; exactness vs
     ConvTranspose is pinned in tests/test_subpixel_deconv.py.
+
+    ``impl`` picks the phase-conv realization ('auto' routes small
+    phase-stacked widths through the 2D path, tiny final deconvs through
+    the 1x1-GEMM tap unfold; choices grounded in
+    tools/probe_conv_impls.py measurements).
     """
     features: int
     kernel: int
     use_bias: bool = True
+    impl: str = "auto"          # auto | stacked2d | native3d | gemm1x1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -132,10 +200,22 @@ class SubpixelTConv3D(nn.Module):
                                axis=-1).astype(self.dtype)
         xb = jnp.pad(x.astype(self.dtype),
                      ((0, 0), (pad, pad), (pad, pad), (pad, pad), (0, 0)))
-        if 8 * o < 128:
-            # tiny output width (the final 1-channel deconv): even the
-            # phase-stacked width starves the MXU under XLA's 3-spatial
-            # lowering; the depth-decomposed 2D path measures ~2x faster
+        impl = self.impl
+        if impl == "auto":
+            # measured per geometry (tools/probe_conv_impls.py, batch 8):
+            # tiny phase-stacked widths (<=32) -> full 1x1-GEMM tap unfold
+            # (dec6 40->1: 12.3ms -> 2.4ms); mid widths -> depth-stacked
+            # 2D conv; wide (>=128) -> XLA native 3-spatial conv
+            if 8 * o <= 32:
+                impl = "gemm1x1"
+            elif 8 * o < 128:
+                impl = "stacked2d"
+            else:
+                impl = "native3d"
+        if impl == "gemm1x1":
+            y = _conv3d_stride1_gemm(xb, wcat, self.dtype).astype(
+                self.dtype)
+        elif impl == "stacked2d":
             y = _conv3d_stride1_via2d(xb, wcat, self.dtype).astype(
                 self.dtype)
         else:
@@ -193,6 +273,7 @@ class DepthPhaseConv3D(nn.Module):
     kernel: int
     torch_padding: int
     use_bias: bool = True
+    impl: str = "auto"          # auto | phase2d | tapstack2d
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -200,8 +281,14 @@ class DepthPhaseConv3D(nn.Module):
         cin = x.shape[-1]
         w = self.param("kernel", kaiming_normal,
                        (self.kernel,) * 3 + (cin, self.features))
-        y = _conv3d_stride2_via2d(x.astype(self.dtype), w,
-                                  self.torch_padding, self.dtype)
+        impl = self.impl
+        if impl == "auto":
+            # tap-stacked keeps the GEMM k*cout wide; measured faster for
+            # the narrow middle levels (tools/probe_conv_impls.py)
+            impl = "tapstack2d" if self.features < 128 else "phase2d"
+        fn = (_conv3d_stride2_tapstack if impl == "tapstack2d"
+              else _conv3d_stride2_via2d)
+        y = fn(x.astype(self.dtype), w, self.torch_padding, self.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,))

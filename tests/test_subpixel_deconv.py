@@ -101,3 +101,41 @@ def test_depth_phase_conv_matches_nn_conv(k):
     assert got.shape == want.shape == (1, d // 2, d // 2, d // 2, cout)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("impl", ["stacked2d", "native3d", "gemm1x1"])
+@pytest.mark.parametrize("k,cin,cout,d", [(4, 3, 1, 6), (4, 5, 3, 4)])
+def test_subpixel_impls_match(impl, k, cin, cout, d):
+    """Every SubpixelTConv3D realization is exact (same params, same
+    outputs as flax ConvTranspose)."""
+    rng = np.random.default_rng(hash(impl) % 1000 + k)
+    x = jnp.asarray(rng.standard_normal((2, d, d, d, cin)), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((k, k, k, cin, cout)),
+                         jnp.float32)
+    ref = fnn.ConvTranspose(cout, (k,) * 3, strides=(2,) * 3,
+                            padding=_tp(k, k // 2 - 1), use_bias=False)
+    want = ref.apply({"params": {"kernel": kernel}}, x)
+    sub = SubpixelTConv3D(cout, k, use_bias=False, impl=impl)
+    got = sub.apply({"params": {"kernel": kernel}}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["phase2d", "tapstack2d"])
+@pytest.mark.parametrize("k", [4, 8])
+def test_stride2_impls_match(impl, k):
+    """Both stride-2 depth decompositions are exact vs nn.Conv."""
+    from genre_shapehd_tpu.nn.voxel_nets import DepthPhaseConv3D
+    rng = np.random.default_rng(k)
+    cin, cout, d, p = 3, 5, 2 * k, k // 2 - 1
+    x = jnp.asarray(rng.standard_normal((2, d, d, d, cin)), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((k, k, k, cin, cout)),
+                         jnp.float32)
+    ref = fnn.Conv(cout, (k,) * 3, strides=(2,) * 3, padding=p,
+                   use_bias=False)
+    want = ref.apply({"params": {"kernel": kernel}}, x)
+    m = DepthPhaseConv3D(cout, k, p, use_bias=False, impl=impl)
+    got = m.apply({"params": {"kernel": kernel}}, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

@@ -41,8 +41,9 @@ def main():
     from genre_shapehd_tpu.core.cache import enable_compile_cache
     from genre_shapehd_tpu.nn.voxel_nets import SubpixelTConv3D, Conv3D
 
+    import os
     enable_compile_cache()
-    B = 4
+    B = int(os.environ.get("PROF_BATCH", "4"))
     dt = jnp.bfloat16
     rng = jax.random.PRNGKey(0)
 

@@ -34,6 +34,15 @@ def build(net, opt):
     model = get_model(net)(opt)
     ds_train = get_dataset("procedural")(opt, "train", model=model)
     ds_vali = get_dataset("procedural")(opt, "vali", model=model)
+    # generate every scene once up front: heavy numpy in loader threads
+    # concurrent with device steps starves XLA:CPU's 40s collective
+    # rendezvous on few-core hosts, and on TPU it skews the first epoch
+    t0 = time.time()
+    for ds in (ds_train, ds_vali):
+        for i in range(len(ds)):
+            ds._raw(i)
+    print(f"[qualrun] cache warm ({len(ds_train)}+{len(ds_vali)} scenes) "
+          f"in {time.time() - t0:.0f}s", flush=True)
     tl = DataLoader(ds_train, opt.batch_size, num_workers=opt.workers,
                     seed=0)
     vl = DataLoader(ds_vali, opt.batch_size, num_workers=opt.workers,
@@ -141,6 +150,9 @@ def main():
                     help="force the 8-device virtual CPU platform (the "
                          "axon sitecustomize otherwise claims the backend)")
     ap.add_argument("--eval_batches", type=int, default=None)
+    ap.add_argument("--skip1", action="store_true",
+                    help="reuse an existing stage-1 checkpoint "
+                         "(<logdir>/inpaint.pt) instead of retraining")
     args = ap.parse_args()
 
     if args.cpu:
@@ -171,18 +183,25 @@ def main():
     report["backend"] = jax.default_backend()
 
     # ---------------------------------------------- stage 1: inpainting
-    t0 = time.time()
-    opt1 = default_opt(**common)
-    model1, trainer1, tl1, vl1 = build("depth_pred_with_sph_inpaint", opt1)
-    spe = min(100, args.steps1)
-    log1 = trainer1.fit(tl1, vl1, epochs=max(args.steps1 // spe, 1),
-                        steps_per_epoch=spe, eval_batches=2,
-                        rng=jax.random.PRNGKey(1))
     ckpt1 = os.path.join(args.logdir, "inpaint.pt")
-    trainer1.save(ckpt1, epoch=args.steps1)
-    report["stage1"] = {"final_log": {k: float(v) for k, v in log1.items()},
-                        "seconds": round(time.time() - t0, 1)}
-    print(f"[qualrun] stage1 done in {report['stage1']['seconds']}s: {log1}")
+    if args.skip1 and os.path.exists(ckpt1):
+        report["stage1"] = {"reused": ckpt1}
+        print(f"[qualrun] stage1 reused: {ckpt1}")
+    else:
+        t0 = time.time()
+        opt1 = default_opt(**common)
+        model1, trainer1, tl1, vl1 = build("depth_pred_with_sph_inpaint",
+                                           opt1)
+        spe = min(100, args.steps1)
+        log1 = trainer1.fit(tl1, vl1, epochs=max(args.steps1 // spe, 1),
+                            steps_per_epoch=spe, eval_batches=2,
+                            rng=jax.random.PRNGKey(1))
+        trainer1.save(ckpt1, epoch=args.steps1)
+        report["stage1"] = {
+            "final_log": {k: float(v) for k, v in log1.items()},
+            "seconds": round(time.time() - t0, 1)}
+        print(f"[qualrun] stage1 done in {report['stage1']['seconds']}s: "
+              f"{log1}")
 
     # ------------------------------- untrained baseline (fresh genre net)
     opt2 = default_opt(**common, inpaint_path=None)
@@ -243,8 +262,10 @@ def write_markdown(path, report):
         f"- resolutions: voxel {cfg['vox_res']}^3, image {cfg['im_size']}^2, "
         f"spherical {cfg['sph_res']}^2, z_res {cfg['z_res']}",
         f"- stage 1 (spherical inpainting): {cfg['steps1']} steps, "
-        f"{report['stage1']['seconds']}s, final "
-        f"{json.dumps(report['stage1']['final_log'])}",
+        + (f"{report['stage1']['seconds']}s, final "
+           f"{json.dumps(report['stage1']['final_log'])}"
+           if "seconds" in report["stage1"]
+           else f"reused checkpoint {report['stage1']['reused']}"),
         f"- stage 2 (voxel refinement): {cfg['steps2']} steps, "
         f"{report['stage2']['seconds']}s, final "
         f"{json.dumps(report['stage2']['final_log'])}",
