@@ -172,7 +172,7 @@ def main():
              padding_margin=16)
     common = dict(batch_size=args.batch, lr=args.lr, gt_depth_input=True,
                   procedural_length=args.train_n, workers=args.workers,
-                  dtype="bfloat16", **dims)
+                  dtype="bfloat16", log_every=8, **dims)
     os.makedirs(args.logdir, exist_ok=True)
     report = {"config": {**common, "steps1": args.steps1,
                          "steps2": args.steps2}}
