@@ -202,16 +202,14 @@ class SubpixelTConv3D(nn.Module):
                      ((0, 0), (pad, pad), (pad, pad), (pad, pad), (0, 0)))
         impl = self.impl
         if impl == "auto":
-            # measured per geometry (tools/probe_conv_impls.py, batch 8):
-            # tiny phase-stacked widths (<=32) -> full 1x1-GEMM tap unfold
-            # (dec6 40->1: 12.3ms -> 2.4ms); mid widths -> depth-stacked
-            # 2D conv; wide (>=128) -> XLA native 3-spatial conv
-            if 8 * o <= 32:
-                impl = "gemm1x1"
-            elif 8 * o < 128:
-                impl = "stacked2d"
-            else:
-                impl = "native3d"
+            # measured per geometry (tools/probe_conv_impls.py, batch 8,
+            # real chip): dec6 40->1@64 native 20.2ms / stacked2d 11.5 /
+            # gemm1x1 12.1; dec5 80->20@32 native 11.4 / stacked2d 15.9;
+            # dec4 320->40@16 native 4.1 / stacked2d 4.7 / gemm1x1 6.7.
+            # stacked2d wins only when the phase-stacked width starves
+            # the MXU AND k*8o stays below the input channel count
+            # (t-tensor traffic <= input traffic)
+            impl = "stacked2d" if 8 * o < 128 else "native3d"
         if impl == "gemm1x1":
             y = _conv3d_stride1_gemm(xb, wcat, self.dtype).astype(
                 self.dtype)
@@ -283,9 +281,13 @@ class DepthPhaseConv3D(nn.Module):
                        (self.kernel,) * 3 + (cin, self.features))
         impl = self.impl
         if impl == "auto":
-            # tap-stacked keeps the GEMM k*cout wide; measured faster for
-            # the narrow middle levels (tools/probe_conv_impls.py)
-            impl = "tapstack2d" if self.features < 128 else "phase2d"
+            # per-phase 2D wins every stride-2 geometry in this family
+            # (tools/probe_conv_impls.py, batch 8, real chip: enc1 2->20
+            # @128 phase2d 8.4ms / tapstack 31.7 / native 48.7; enc2
+            # 20->40@64 phase2d 9.2 / tapstack 12.0 / native 11.6) --
+            # tap-stacking widens the GEMM to k*cout lanes but pays k/2x
+            # t-tensor traffic over the full (unstrided) depth
+            impl = "phase2d"
         fn = (_conv3d_stride2_tapstack if impl == "tapstack2d"
               else _conv3d_stride2_via2d)
         y = fn(x.astype(self.dtype), w, self.torch_padding, self.dtype)

@@ -65,14 +65,11 @@ def _scatter_mean_tdf(
     # invalid points -> out-of-range index, dropped by scatter mode="drop"
     flat = jnp.where(valid, flat, res ** 3)
 
-    # ONE scatter of (dist, 1) pairs instead of two scalar scatters:
-    # TPU scatter-add runs near its serial per-point floor, so halving the
-    # scatter count halves the op (measured on the batch-8 cam_bp stage)
-    pairs = jnp.stack([jnp.where(valid, dist, 0.0),
-                       valid.astype(glob.dtype)], axis=-1)      # (N, P, 2)
-    zeros2 = jnp.zeros((n, res ** 3, 2), dtype=glob.dtype)
-    acc = zeros2.at[jnp.arange(n)[:, None], flat].add(pairs, mode="drop")
-    sums, cnt = acc[..., 0], acc[..., 1]
+    zeros = jnp.zeros((n, res ** 3), dtype=glob.dtype)
+    sums = zeros.at[jnp.arange(n)[:, None], flat].add(
+        jnp.where(valid, dist, 0.0), mode="drop")
+    cnt = zeros.at[jnp.arange(n)[:, None], flat].add(
+        valid.astype(glob.dtype), mode="drop")
 
     eps = 1e-5  # kernel.cu:32 (EPS), used by inplace_safe_divide:299
     tdf = jnp.where(cnt > eps, sums / jnp.maximum(cnt, 1.0), background)
