@@ -23,6 +23,8 @@ import statistics
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, ".")
 
 BATCH = 4
@@ -51,13 +53,17 @@ def main():
     state = trainer.initialize(jax.random.PRNGKey(0))
     it = InfiniteLoader(loader)
 
+    # warm the procedural sample cache: the synthetic dataset renders its
+    # samples on first touch (seconds each); measuring across that would
+    # charge one-time host work to the steady-state loop
+    for _ in loader:
+        pass
+
     # one fixed device batch for the pure-device measurement
     first = next(iter(loader))
     dev_batch0, _ = trainer._device_batch(first)
 
-    def decompress(b):
-        return {k: (v.astype(jnp.float32) if v.dtype == jnp.uint8 else v)
-                for k, v in b.items()}
+    from genre_shapehd_tpu.train.loop import decompress_batch as decompress
 
     @jax.jit
     def chained(state, batch, rng):
@@ -80,10 +86,12 @@ def main():
     device_step = statistics.median(dev_times)
 
     def e2e(log_every: int) -> float:
-        times = []
+        """MEAN seconds/step over the measured span (a median would report
+        the cheap dispatch-only steps of the deferred-fetch mode, not
+        throughput)."""
         st = trainer.initialize(jax.random.PRNGKey(0))
         pend = []
-        prev = time.perf_counter()
+        t_start, n_meas = None, 0
         for i, (dev_batch, _, _, _) in enumerate(
                 trainer._prefetched(it, STEPS)):
             st, metrics = trainer._train_step(
@@ -93,26 +101,53 @@ def main():
                 for m in pend:
                     float(m["loss"])
                 pend.clear()
-            now = time.perf_counter()
-            if i >= 2:                  # drop compile + async head start
-                times.append(now - prev)
-            prev = now
+            if i == 1:                  # drop compile + async head start
+                for m in pend:          # drain so the span starts clean
+                    float(m["loss"])
+                pend.clear()
+                t_start = time.perf_counter()
+            elif i > 1:
+                n_meas += 1
         for m in pend:
             float(m["loss"])
-        return statistics.median(times)
+        jax.block_until_ready(st)
+        return (time.perf_counter() - t_start) / n_meas
 
     step_sync = e2e(1)
     step_deferred = e2e(4)
+    # on the axon-relay rig, deep async pipelining (deferred fetch) can
+    # measure SLOWER than strict per-step alternation -- the tunnel
+    # serializes queued h2d/dispatch traffic; report the best cadence as
+    # the headline and both raw modes for the record
+    best = min(step_sync, step_deferred)
+
+    # isolate the host->device transfer cost of one (compressed) batch:
+    # on this rig it rides the axon tunnel, not PCIe, so it is reported
+    # separately rather than folded into a "host gap" claim
+    packed, _ = trainer._device_batch(first)
+    jax.block_until_ready(packed)
+    h2d_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pb, _ = trainer._device_batch(first)
+        jax.block_until_ready(pb)
+        h2d_times.append(time.perf_counter() - t0)
+    h2d = statistics.median(h2d_times)
+    h2d_mb = sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                 for v in packed.values()) / 1e6
 
     print(json.dumps({
         "metric": "genre_full_train_step_sec_batch4",
-        "value": round(step_deferred, 4),
-        "unit": "s/step e2e (host pipeline, log_every=4)",
-        "examples_per_sec": round(BATCH / step_deferred, 2),
+        "value": round(best, 4),
+        "unit": "s/step e2e (host pipeline, best fetch cadence)",
+        "examples_per_sec": round(BATCH / best, 2),
         "device_step_sec": round(device_step, 4),
         "e2e_per_step_fetch_sec": round(step_sync, 4),
-        "host_gap_sec": round(step_deferred - device_step, 4),
-        "device_fraction": round(device_step / step_deferred, 3),
+        "e2e_deferred4_sec": round(step_deferred, 4),
+        "h2d_batch_sec": round(h2d, 4),
+        "h2d_batch_mb": round(h2d_mb, 2),
+        "host_gap_sec": round(best - device_step, 4),
+        "device_fraction": round(device_step / best, 3),
     }))
 
 

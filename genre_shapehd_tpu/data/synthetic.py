@@ -28,11 +28,22 @@ class Dataset:
         self.sph_res = getattr(opt, "sph_res", 128)
         self.margin = getattr(opt, "padding_margin", 16)
         self.length = getattr(opt, "synthetic_length", 64)
+        # samples are deterministic per (index, mode); memoize them so the
+        # per-item model.preprocess (the dominant host cost at full res)
+        # runs once, not once per epoch
+        self._cache: Dict[int, Dict[str, np.ndarray]] = {}
 
     def __len__(self):
         return self.length
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        if i in self._cache:
+            return dict(self._cache[i])
+        sample = self._generate(i)
+        self._cache[i] = sample
+        return dict(sample)
+
+    def _generate(self, i: int) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng(i + (10_000 if self.mode != "train" else 0))
         s, v = self.im_size, self.vox_res
         sample: Dict[str, np.ndarray] = {}

@@ -23,6 +23,31 @@ from ..parallel import mesh as pmesh
 from .loggers import ComposeLogger, LogCumulator
 from .state import (reference_payload_to_state, state_to_reference_payload)
 
+# batch keys holding binary occupancy grids, eligible for bit-packed
+# host->device transport (_device_batch pack / decompress_batch unpack)
+_PACK_KEYS = ("voxel", "voxel_canon")
+
+
+def decompress_batch(batch: Dict) -> Dict:
+    """Widen wire-compressed batch leaves inside the jitted step.
+
+    Binary GT grids travel bit-packed (32x less tunnel/DCN traffic than
+    f32, see Trainer._device_batch); a packed cubic grid is recognizable
+    by its last dim being 1/8 of the second-to-last.  Anything uint8
+    widens to f32."""
+    import jax.numpy as jnp
+    out = {}
+    for k, v in batch.items():
+        if (k in _PACK_KEYS and v.dtype == jnp.uint8
+                and v.ndim >= 2 and v.shape[-1] * 8 == v.shape[-2]):
+            bits = (v[..., None]
+                    >> (7 - jnp.arange(8, dtype=jnp.uint8))) & 1
+            v = bits.reshape(*v.shape[:-1], v.shape[-1] * 8)
+        if v.dtype in (jnp.uint8, jnp.float16):
+            v = v.astype(jnp.float32)
+        out[k] = v
+    return out
+
 
 class Trainer:
     def __init__(self, model, opt, logger: Optional[ComposeLogger] = None,
@@ -49,12 +74,7 @@ class Trainer:
         rep = pmesh.replicated(self.mesh)
         shard = pmesh.batch_sharding(self.mesh)
 
-        def _decompress(batch):
-            # binary GT grids travel as uint8 (4x less tunnel/DCN traffic,
-            # see _device_batch) and widen on device
-            import jax.numpy as jnp
-            return {k: (v.astype(jnp.float32) if v.dtype == jnp.uint8
-                        else v) for k, v in batch.items()}
+        _decompress = decompress_batch
 
         # batch leaves are arrays (sharded); rng + state replicated
         self._train_step = jax.jit(
@@ -105,9 +125,26 @@ class Trainer:
         for k, v in batch.items():
             if not isinstance(v, np.ndarray):
                 rest[k] = v
-            elif k in ("voxel", "voxel_canon") and v.dtype == np.float32:
-                # binary grids: ship uint8, widen in the jitted step
-                arrays[k] = v.astype(np.uint8)
+            elif (k in _PACK_KEYS and v.dtype == np.float32
+                  and v.shape[-1] % 8 == 0
+                  and v.shape[-1] // 8 != v.shape[-2]
+                  and np.array_equal(v, v.astype(bool))):
+                # binary grids: ship bit-packed (1 bit/voxel instead of
+                # 32), unpacked in the jitted step (_decompress).  The
+                # shape guard keeps pack/unpack recognition unambiguous.
+                arrays[k] = np.packbits(v.astype(np.uint8), axis=-1)
+            elif k in _PACK_KEYS and v.dtype == np.float32:
+                # non-packable (odd shape / non-binary): ship uint8 when
+                # lossless, else as-is
+                arrays[k] = (v.astype(np.uint8)
+                             if np.array_equal(v, v.astype(np.uint8)) else v)
+            elif v.dtype == np.float32 and v.ndim >= 3:
+                # per-pixel/per-voxel payloads (images, depth, spherical
+                # maps): ship f16 -- its 10-bit mantissa sits strictly
+                # below the bf16 (8-bit) compute precision of every model,
+                # and halves tunnel/DCN bytes.  Small precision-critical
+                # leaves (camera matrices etc.) are ndim<=2 and stay f32.
+                arrays[k] = v.astype(np.float16)
             else:
                 arrays[k] = v
         # true (pre-padding) batch size for metric weighting: shard_batch
