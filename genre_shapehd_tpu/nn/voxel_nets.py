@@ -131,6 +131,35 @@ def _conv3d_stride2_tapstack(x, w, p, dtype):
     return acc
 
 
+def _conv3d_stride1_scan2d(xb, w, dtype):
+    """VALID stride-1 3D conv as k accumulated per-depth-tap 2D convs.
+
+    One (k, k, cin, cout) 2D conv per depth tap, accumulated in place --
+    FLOP-equal to the direct conv with NO k*cout-wide t tensor.  The
+    stacked2d variant materializes one (k*cout channels over the FULL
+    depth); at the dec5 geometry (80->160 phase channels @ 33^3) that t
+    round-trips ~4 GB of HBM.  Here each tap re-reads a shifted input
+    slab instead -- k*input_bytes of reads, zero intermediate writes
+    beyond the accumulator.
+
+    x: (N, Dp, Hp, Wp, Cin) pre-padded; w: (k, k, k, Cin, Cout).
+    """
+    n, dp, hp, wp, cin = xb.shape
+    k, cout = w.shape[0], w.shape[-1]
+    dout = dp - k + 1
+    acc = None
+    for kd in range(k):
+        xs = xb[:, kd:kd + dout].reshape(n * dout, hp, wp, cin)
+        # no preferred_element_type (see _conv3d_stride1_via2d)
+        t = jax.lax.conv_general_dilated(
+            xs, w[kd].astype(dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(
+                jnp.float32 if dtype == jnp.float32 else dtype)
+        acc = t if acc is None else acc + t
+    ho, wo = hp - k + 1, wp - k + 1
+    return acc.reshape(n, dout, ho, wo, cout)
+
+
 def _conv3d_stride1_gemm(xb, w, dtype):
     """VALID stride-1 3D conv as ONE 1x1 GEMM + k^3 shifted adds (exact).
 
@@ -184,7 +213,7 @@ class SubpixelTConv3D(nn.Module):
     features: int
     kernel: int
     use_bias: bool = True
-    impl: str = "auto"          # auto | stacked2d | native3d | gemm1x1
+    impl: str = "auto"    # auto | stacked2d | native3d | gemm1x1 | scan2d
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -215,6 +244,9 @@ class SubpixelTConv3D(nn.Module):
                 self.dtype)
         elif impl == "stacked2d":
             y = _conv3d_stride1_via2d(xb, wcat, self.dtype).astype(
+                self.dtype)
+        elif impl == "scan2d":
+            y = _conv3d_stride1_scan2d(xb, wcat, self.dtype).astype(
                 self.dtype)
         else:
             y = jax.lax.conv_general_dilated(

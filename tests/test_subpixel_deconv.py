@@ -103,7 +103,8 @@ def test_depth_phase_conv_matches_nn_conv(k):
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("impl", ["stacked2d", "native3d", "gemm1x1"])
+@pytest.mark.parametrize("impl", ["stacked2d", "native3d", "gemm1x1",
+                                  "scan2d"])
 @pytest.mark.parametrize("k,cin,cout,d", [(4, 3, 1, 6), (4, 5, 3, 4)])
 def test_subpixel_impls_match(impl, k, cin, cout, d):
     """Every SubpixelTConv3D realization is exact (same params, same

@@ -95,8 +95,8 @@ def main():
             ("dec4 k4 320->40 @16", 16, 320, 40, 4),
             ("dec5 k8 80->20 @32", 32, 80, 20, 8),
             ("dec6 k4 40->1 @64", 64, 40, 1, 4)]:
-        impls = ("native3d", "stacked2d", "gemm1x1") if k == 4 else \
-            ("native3d", "stacked2d")
+        impls = ("native3d", "stacked2d", "gemm1x1", "scan2d") if k == 4 \
+            else ("native3d", "stacked2d", "scan2d")
         for impl in impls:
             cases.append((f"{name} [{impl}]",
                           lambda i=impl, a=(d, cin, cout, k):
