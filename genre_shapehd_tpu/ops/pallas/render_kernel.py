@@ -57,19 +57,142 @@ def _pallas_weights_np(vox_res: int, sph_res: int, z_res: int,
 
 
 def _pallas_weights(vox_res: int, sph_res: int, z_res: int, rho_res: int):
-    w = {k: jnp.asarray(v)
-         for k, v in _pallas_weights_np(vox_res, sph_res, z_res,
-                                        rho_res).items()}
-    # combined stage-1 weights W2[th, m, x*Y + y] = wx[th,x,m]*wy[th,y,m]:
-    # dense costs the same FLOPs as the factored two-step form (B*Z >> X)
-    # and runs stage 1 as ONE clean MXU dot per (theta, xy-chunk).
-    # Computed IN-GRAPH (~0.8GB at full scale): baking it as an HLO
-    # constant would blow the compile-request size; as a loop-invariant
-    # op XLA hoists it out of stepping loops.
+    return {k: jnp.asarray(v)
+            for k, v in _pallas_weights_np(vox_res, sph_res, z_res,
+                                           rho_res).items()}
+
+
+def _dense_w2(w):
+    """Combined dense stage-1 weights W2[th, m, x*Y+y] = wx*wy for the
+    dense reference kernel (_s1_call); ~0.8GB in-graph at full scale.
+    The production path uses the block-sparse rectangles instead
+    (_s1_sparse_call, ~113MB compact weights, ~7x fewer FLOPs)."""
     th, m, v = w["wx_t"].shape
-    w["w2"] = (w["wx_t"][:, :, :, None]
-               * w["wy_t"][:, :, None, :]).reshape(th, m, v * v)
-    return w
+    return (w["wx_t"][:, :, :, None]
+            * w["wy_t"][:, :, None, :]).reshape(th, m, v * v)
+
+
+@functools.lru_cache(maxsize=4)
+def _s1_sparse_plan_np(vox_res: int, sph_res: int, z_res: int,
+                       rho_res: int):
+    """Block-sparse stage-1 plan: per (theta, rho-block) support rectangles.
+
+    W2[th, m, (x, y)] = wx[th,x,m] * wy[th,y,m] is hat-sparse: the (x, y)
+    support of rho-block [m0, m0+MB) is the bounding rectangle of a ray
+    SEGMENT -- at MB=64 of 192 rho nodes it spans <= |cos th|*31+2 voxels
+    in x (resp. sin in y) of the full 128, so a fixed 48x48 window always
+    covers it.  The dense kernel pays 16384-wide contractions and re-DMAs
+    the whole volume per theta; the rectangles cut stage-1 FLOPs ~7x and
+    HBM reads ~2.4x.
+
+    Returns (x0s, y0s) int32 (Th, NMB) window origins and compact weight
+    factors wxc, wyc float32 (Th, NMB, MB, XW) with
+    wxc[t, j, m, dx] = wx[t, x0s[t,j] + dx, j*MB + m].
+    """
+    wx, wy, _, _ = _stage_weights(vox_res, sph_res, z_res, rho_res)
+    v = vox_res
+    mb = 64 if rho_res % 64 == 0 else rho_res
+    nmb = rho_res // mb
+
+    def plan(w):
+        # w: (Th, V, M) -> origins (Th, NMB) and max in-range span
+        origins = np.zeros((sph_res, nmb), np.int64)
+        span = 1
+        for t in range(sph_res):
+            for j in range(nmb):
+                rows = np.nonzero(
+                    np.any(w[t][:, j * mb:(j + 1) * mb] != 0.0, axis=1))[0]
+                if len(rows):
+                    span = max(span, int(rows.max() - rows.min() + 1))
+                    origins[t, j] = int(rows.min())
+        return origins, span
+
+    ox, sx = plan(wx)
+    oy, sy = plan(wy)
+    # Mosaic requires dynamic DMA origins in tiled dims to be 8-aligned:
+    # floor origins to 8 and widen the window by the worst-case 7 slack.
+    xw = min(v, -(-(max(sx, sy) + 7) // 16) * 16)   # shared square window
+    ox = np.clip((ox // 8) * 8, 0, v - xw)
+    oy = np.clip((oy // 8) * 8, 0, v - xw)
+
+    def compact(w, origins):
+        out = np.zeros((sph_res, nmb, mb, xw), np.float32)
+        for t in range(sph_res):
+            for j in range(nmb):
+                x0 = origins[t, j]
+                out[t, j] = w[t][x0:x0 + xw, j * mb:(j + 1) * mb].T
+        return out
+
+    # origins are stored pre-divided by 8 (they are 8-aligned above); the
+    # kernel rescales, keeping the alignment provable to Mosaic
+    return ((ox // 8).astype(np.int32), (oy // 8).astype(np.int32),
+            compact(wx, ox), compact(wy, oy), mb, xw)
+
+
+def _s1_sparse_kernel(x0_ref, y0_ref, vox3_ref, w2c_ref, c_ref, scratch,
+                      sem):
+    """c[th, b, m-block, v] = W2c[th, mb] @ vox[rect(th, mb)].
+
+    The support rectangle is DMA'd from the HBM-resident volume at the
+    scalar-prefetched per-(theta, rho-block) origin; the contraction runs
+    as one (MB, XW*XW) x (XW*XW, B*V) MXU dot.
+    """
+    it = pl.program_id(0)
+    imb = pl.program_id(1)
+    xw = scratch.shape[0]
+    # origins are prefetched pre-divided by 8; the explicit *8 makes the
+    # tiled-dim alignment provable to Mosaic (a bare dynamic scalar is not)
+    dma = pltpu.make_async_copy(
+        vox3_ref.at[pl.ds(x0_ref[it, imb] * 8, xw),
+                    pl.ds(y0_ref[it, imb] * 8, xw), :],
+        scratch, sem)
+    dma.start()
+    dma.wait()
+    mb, bz = w2c_ref.shape[2], scratch.shape[2]
+    block = scratch[:].reshape(xw * xw, bz)
+    acc = jnp.dot(w2c_ref[0, 0], block,
+                  preferred_element_type=jnp.float32)       # (MB, B*Z)
+    b = c_ref.shape[1]
+    c_ref[0] = jnp.swapaxes(
+        acc.reshape(mb, b, bz // b), 0, 1).astype(c_ref.dtype)
+
+
+def _s1_sparse_call(vox3, b, vox_res, sph_res, z_res, rho_res, interpret):
+    """vox3: (X, Y, B*Z) -> c: (Th, B, M, V) via support rectangles."""
+    v = vox_res
+    x0s, y0s, wxc, wyc, mb, xw = _s1_sparse_plan_np(
+        vox_res, sph_res, z_res, rho_res)
+    nmb = rho_res // mb
+    # compact joint weights, computed in-graph (loop-invariant, hoisted);
+    # ~113MB bf16 at full scale vs the dense form's 805MB
+    w2c = (jnp.asarray(wxc, BF16)[:, :, :, :, None]
+           * jnp.asarray(wyc, BF16)[:, :, :, None, :]).reshape(
+               sph_res, nmb, mb, xw * xw)
+    bz = vox3.shape[2]
+    assert vox3.shape == (v, v, bz) and bz == b * v, (vox3.shape, b)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(sph_res, nmb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, mb, xw * xw),
+                         lambda it, imb, x0s, y0s: (it, imb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, b, mb, v),
+                               lambda it, imb, x0s, y0s: (it, 0, imb, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((xw, xw, bz), BF16),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _s1_sparse_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((sph_res, b, rho_res, v), BF16),
+        interpret=interpret,
+    )(jnp.asarray(x0s), jnp.asarray(y0s), vox3, w2c)
 
 
 def _s1_kernel(vox2_ref, w2_ref, c_ref, acc):
@@ -143,7 +266,7 @@ def _s1_call(vox2, b, w, sph_res, rho_res, interpret):
         out_shape=jax.ShapeDtypeStruct((sph_res, b, rho_res, v), BF16),
         scratch_shapes=[pltpu.VMEM((rho_res, bz), jnp.float32)],
         interpret=interpret,
-    )(vox2, w["w2"])
+    )(vox2, _dense_w2(w))
 
 
 def _s2_call(c, w, z_res, interpret):
@@ -260,9 +383,9 @@ def _render_expd_fwd(vox, vox_res, sph_res, z_res, rho_res, interpret):
     assert vox.shape[1] == vox_res, (vox.shape, vox_res)
     b, v = vox.shape[0], vox_res
     w = _pallas_weights(vox_res, sph_res, z_res, rho_res)
-    vox2 = jnp.transpose(vox.astype(BF16), (1, 2, 0, 3)).reshape(
-        v * v, b * v)
-    c = _s1_call(vox2, b, w, sph_res, rho_res, interpret)
+    vox3 = jnp.transpose(vox.astype(BF16), (1, 2, 0, 3)).reshape(
+        v, v, b * v)
+    c = _s1_sparse_call(vox3, b, v, sph_res, z_res, rho_res, interpret)
     out_t = _s2scan_call(c, w, z_res, interpret)         # (Ph, Th, B)
     return jnp.transpose(out_t, (2, 0, 1)), vox
 
@@ -304,9 +427,10 @@ def _sample_fwd(vox, vox_res, sph_res, z_res, rho_res, interpret):
     assert vox.shape[1] == vox_res, (vox.shape, vox_res)
     b, v = vox.shape[0], vox_res
     w = _pallas_weights(vox_res, sph_res, z_res, rho_res)
-    vox2 = jnp.transpose(vox.astype(BF16), (1, 2, 0, 3)).reshape(
-        v * v, b * v)                                        # (X*Y, B*Z)
-    c = _s1_call(vox2, b, w, sph_res, rho_res, interpret)    # (Th, B, M, V)
+    vox3 = jnp.transpose(vox.astype(BF16), (1, 2, 0, 3)).reshape(
+        v, v, b * v)                                         # (X, Y, B*Z)
+    c = _s1_sparse_call(vox3, b, v, sph_res, z_res, rho_res,
+                        interpret)                           # (Th, B, M, V)
     out_t = _s2_call(c, w, z_res, interpret)                 # (Ph, Th, B, S)
     out = jnp.transpose(out_t, (2, 0, 1, 3))                 # (B, R, R, S)
     return out, None
