@@ -130,26 +130,43 @@ def _s1_sparse_plan_np(vox_res: int, sph_res: int, z_res: int,
 
 
 def _s1_sparse_kernel(x0_ref, y0_ref, vox3_ref, w2c_ref, c_ref, scratch,
-                      sem):
+                      sems):
     """c[th, b, m-block, v] = W2c[th, mb] @ vox[rect(th, mb)].
 
     The support rectangle is DMA'd from the HBM-resident volume at the
     scalar-prefetched per-(theta, rho-block) origin; the contraction runs
-    as one (MB, XW*XW) x (XW*XW, B*V) MXU dot.
+    as one (MB, XW*XW) x (XW*XW, B*V) MXU dot.  Rectangle fetches are
+    double-buffered across grid steps: step i kicks off step i+1's copy
+    before waiting on its own, overlapping HBM traffic with the dot.
     """
     it = pl.program_id(0)
     imb = pl.program_id(1)
-    xw = scratch.shape[0]
-    # origins are prefetched pre-divided by 8; the explicit *8 makes the
-    # tiled-dim alignment provable to Mosaic (a bare dynamic scalar is not)
-    dma = pltpu.make_async_copy(
-        vox3_ref.at[pl.ds(x0_ref[it, imb] * 8, xw),
-                    pl.ds(y0_ref[it, imb] * 8, xw), :],
-        scratch, sem)
-    dma.start()
-    dma.wait()
-    mb, bz = w2c_ref.shape[2], scratch.shape[2]
-    block = scratch[:].reshape(xw * xw, bz)
+    nmb = pl.num_programs(1)
+    nsteps = pl.num_programs(0) * nmb
+    flat = it * nmb + imb
+    xw = scratch.shape[1]
+
+    def rect_dma(step, slot):
+        i_t, i_mb = step // nmb, step % nmb
+        # origins are prefetched pre-divided by 8; the explicit *8 makes
+        # the tiled-dim alignment provable to Mosaic (a bare dynamic
+        # scalar is not)
+        return pltpu.make_async_copy(
+            vox3_ref.at[pl.ds(x0_ref[i_t, i_mb] * 8, xw),
+                        pl.ds(y0_ref[i_t, i_mb] * 8, xw), :],
+            scratch.at[slot], sems.at[slot])
+
+    @pl.when(flat == 0)
+    def _():
+        rect_dma(0, 0).start()
+
+    @pl.when(flat + 1 < nsteps)
+    def _():
+        rect_dma(flat + 1, (flat + 1) % 2).start()
+
+    rect_dma(flat, flat % 2).wait()
+    mb, bz = w2c_ref.shape[2], scratch.shape[3]
+    block = scratch[flat % 2].reshape(xw * xw, bz)
     acc = jnp.dot(w2c_ref[0, 0], block,
                   preferred_element_type=jnp.float32)       # (MB, B*Z)
     b = c_ref.shape[1]
@@ -183,8 +200,8 @@ def _s1_sparse_call(vox3, b, vox_res, sph_res, z_res, rho_res, interpret):
                                lambda it, imb, x0s, y0s: (it, 0, imb, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((xw, xw, bz), BF16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, xw, xw, bz), BF16),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
