@@ -25,7 +25,7 @@ def _tp(k: int, p: int, op: int = 0):
     return (pad, pad, pad)
 
 
-def _conv3d_stride1_via2d(x, w, dtype):
+def _conv3d_stride1_via2d(x, w, dtype, wb=None):
     """VALID stride-1 3D conv as ONE 2D conv + shifted depth adds (exact).
 
     XLA's TPU lowering of 3-spatial-dim convolutions is far off its 2D
@@ -37,6 +37,7 @@ def _conv3d_stride1_via2d(x, w, dtype):
 
     x: (N, Dp, Hp, Wp, Cin) pre-padded; w: (k, k, k, Cin, Cout).
     Returns (N, Dp-k+1, Hp-k+1, Wp-k+1, Cout) in f32 accumulation.
+    ``wb`` > 1 lane-packs the inner 2D conv (_conv2d_lanepack).
     """
     n, dp, hp, wp, cin = x.shape
     k, cout = w.shape[0], w.shape[-1]
@@ -48,9 +49,12 @@ def _conv3d_stride1_via2d(x, w, dtype):
     # models the f32 round-trip doubled the traffic of the biggest
     # intermediate for a <=0.4% quantization the network carries anyway
     acc_dt = jnp.float32 if dtype == jnp.float32 else dtype
-    t = jax.lax.conv_general_dilated(
-        x2, w2, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(acc_dt)
+    if wb is not None and wb > 1:
+        t = _conv2d_lanepack(x2, w2, 1, 0, wb, dtype).astype(acc_dt)
+    else:
+        t = jax.lax.conv_general_dilated(
+            x2, w2, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(acc_dt)
     ho, wo = t.shape[1], t.shape[2]
     t = t.reshape(n, dp, ho, wo, k, cout)
     dout = dp - k + 1
@@ -60,7 +64,7 @@ def _conv3d_stride1_via2d(x, w, dtype):
     return acc
 
 
-def _conv3d_stride2_via2d(x, w, p, dtype):
+def _conv3d_stride2_via2d(x, w, p, dtype, wb=None):
     """Conv3d(k, s=2, p) as two per-depth-phase 2D convs (exact).
 
     Splits the depth axis into even/odd phases; each phase's k/2 depth
@@ -91,10 +95,14 @@ def _conv3d_stride2_via2d(x, w, p, dtype):
         x2 = jnp.concatenate(views, axis=-1).reshape(
             n * dout, hp, wp, len(taps) * cin)
         # no preferred_element_type (see _conv3d_stride1_via2d)
-        t = jax.lax.conv_general_dilated(
-            x2, w2, (2, 2), [(p, p)] * 2,
-            dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(
+        if wb is not None and wb > 1:
+            t = _conv2d_lanepack(x2, w2, 2, p, wb, dtype).astype(
                 jnp.float32 if dtype == jnp.float32 else dtype)
+        else:
+            t = jax.lax.conv_general_dilated(
+                x2, w2, (2, 2), [(p, p)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(
+                    jnp.float32 if dtype == jnp.float32 else dtype)
         t = t.reshape(n, dout, t.shape[1], t.shape[2], cout)
         acc = t if acc is None else acc + t
     return acc
@@ -129,6 +137,51 @@ def _conv3d_stride2_tapstack(x, w, p, dtype):
         sl = tp[:, start:start + 2 * dout:2, :, :, kd]
         acc = sl if acc is None else acc + sl
     return acc
+
+
+def _conv2d_lanepack(x2, w2, stride, pad, wb, dtype):
+    """2D conv with cout packed to ~full MXU lanes by w-position blocking.
+
+    XLA's TPU conv engine runs its implicit GEMM with N = C_out lanes; the
+    U-Net's edge layers (C_out 8..20 after phase stacking) leave 84-94% of
+    the MXU idle.  Rewrite: block ``wb`` adjacent output w-positions into
+    the channel dim -- a conv with kernel width kw + s*(wb-1), stride s*wb
+    and wb*cout output channels, where Wbig[:, s*j + kx, :, j*cout + co]
+    = w2[:, kx, :, co].  Exact (the extra weights are zeros); costs a
+    known FLOP inflation of (kw + s*(wb-1))/kw in exchange for wb-times
+    wider lanes, which measures far ahead for small cout
+    (tools/probe_lanepack.py).
+
+    x2: (R, H, W, Cin) unpadded; stride/pad apply to both spatial dims.
+    Output width is right-padded to a multiple of wb and sliced back.
+    """
+    r, h, w, cin = x2.shape
+    kh, kw, _, cout = w2.shape
+    wo = (w + 2 * pad - kw) // stride + 1
+    wo_pad = -(-wo // wb) * wb
+    # input span consumed by the blocked conv (= standard conv span for
+    # wo_pad outputs); pad the extra columns with zeros on the right
+    need = (wo_pad - 1) * stride + kw
+    x2 = jnp.pad(x2, ((0, 0), (pad, pad), (pad, need - w - pad), (0, 0)))
+    wbig = jnp.zeros((kh, kw + stride * (wb - 1), cin, wb * cout),
+                     dtype)
+    for j in range(wb):
+        wbig = wbig.at[:, stride * j:stride * j + kw, :,
+                       j * cout:(j + 1) * cout].set(w2.astype(dtype))
+    t = jax.lax.conv_general_dilated(
+        x2, wbig, (stride, stride * wb), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ho = t.shape[1]
+    t = t.reshape(r, ho, wo_pad // wb, wb, cout).reshape(
+        r, ho, wo_pad, cout)
+    return t[:, :, :wo]
+
+
+def _lanepack_wb(cout: int, wo: int) -> int:
+    """Pick the w-block so wb*cout lands in [96, 256] without exceeding
+    the (padded) output width."""
+    wb = max(1, min(-(-96 // cout), wo))
+    return wb
 
 
 def _conv3d_stride1_scan2d(xb, w, dtype):

@@ -169,13 +169,14 @@ def _s1_sparse_kernel(x0_ref, y0_ref, vox3_ref, w2c_ref, c_ref, scratch,
     block = scratch[flat % 2].reshape(xw * xw, bz)
     acc = jnp.dot(w2c_ref[0, 0], block,
                   preferred_element_type=jnp.float32)       # (MB, B*Z)
-    b = c_ref.shape[1]
-    c_ref[0] = jnp.swapaxes(
-        acc.reshape(mb, b, bz // b), 0, 1).astype(c_ref.dtype)
+    b = c_ref.shape[2]
+    # (Th, M, B, V) output order: the natural (m, b, v) accumulator
+    # layout needs no in-kernel transpose
+    c_ref[0] = acc.reshape(mb, b, bz // b).astype(c_ref.dtype)
 
 
 def _s1_sparse_call(vox3, b, vox_res, sph_res, z_res, rho_res, interpret):
-    """vox3: (X, Y, B*Z) -> c: (Th, B, M, V) via support rectangles."""
+    """vox3: (X, Y, B*Z) -> c: (Th, M, B, V) via support rectangles."""
     v = vox_res
     x0s, y0s, wxc, wyc, mb, xw = _s1_sparse_plan_np(
         vox_res, sph_res, z_res, rho_res)
@@ -196,8 +197,8 @@ def _s1_sparse_call(vox3, b, vox_res, sph_res, z_res, rho_res, interpret):
                          lambda it, imb, x0s, y0s: (it, imb, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, b, mb, v),
-                               lambda it, imb, x0s, y0s: (it, 0, imb, 0),
+        out_specs=pl.BlockSpec((1, mb, b, v),
+                               lambda it, imb, x0s, y0s: (it, imb, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, xw, xw, bz), BF16),
@@ -207,7 +208,7 @@ def _s1_sparse_call(vox3, b, vox_res, sph_res, z_res, rho_res, interpret):
     return pl.pallas_call(
         _s1_sparse_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((sph_res, b, rho_res, v), BF16),
+        out_shape=jax.ShapeDtypeStruct((sph_res, rho_res, b, v), BF16),
         interpret=interpret,
     )(jnp.asarray(x0s), jnp.asarray(y0s), vox3, w2c)
 
@@ -233,16 +234,16 @@ def _s1_kernel(vox2_ref, w2_ref, c_ref, acc):
 
 
 def _s2_kernel(c_ref, wz_ref, wr_ref, out_ref):
-    """out[ph, th-chunk] from the resident c chunk (c: (Th, B, M, V))."""
-    tc, b, m, v = c_ref.shape
+    """out[ph, th-chunk] from the resident c chunk (c: (Th, M, B, V))."""
+    tc, m, b, v = c_ref.shape
     s = wz_ref.shape[2]
-    c2 = c_ref[:].reshape(tc * b * m, v)
+    c2 = c_ref[:].reshape(tc * m * b, v)
     t2 = jnp.dot(c2, wz_ref[0],
-                 preferred_element_type=jnp.float32)     # (Tc*B*M, S)
-    t2 = t2.reshape(tc, b, m, s)
+                 preferred_element_type=jnp.float32)     # (Tc*M*B, S)
+    t2 = t2.reshape(tc, m, b, s)
     wrb = wr_ref[0].astype(jnp.float32)                  # (M, S)
-    wq = jax.lax.broadcast_in_dim(wrb, t2.shape, (2, 3))
-    out_ref[0] = jnp.sum(t2 * wq, axis=2)
+    wq = jax.lax.broadcast_in_dim(wrb, t2.shape, (1, 3))
+    out_ref[0] = jnp.sum(t2 * wq, axis=1)
 
 
 def _common_sizes(v, sph_res, b=4):
@@ -287,7 +288,7 @@ def _s1_call(vox2, b, w, sph_res, rho_res, interpret):
 
 
 def _s2_call(c, w, z_res, interpret):
-    th, b, m, v = c.shape
+    th, m, b, v = c.shape
     _, tc = _common_sizes(v, th, b)
     # the grid assumes a square (Ph == Th) angular grid and exact theta
     # chunking; fail loudly instead of dropping remainder chunks
@@ -297,7 +298,7 @@ def _s2_call(c, w, z_res, interpret):
         _s2_kernel,
         grid=(th // tc, th),        # (theta chunks, phi); Ph == Th
         in_specs=[
-            pl.BlockSpec((tc, b, m, v), lambda it, ip: (it, 0, 0, 0),
+            pl.BlockSpec((tc, m, b, v), lambda it, ip: (it, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, v, z_res), lambda it, ip: (ip, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -323,15 +324,15 @@ def _s2scan_kernel(c_ref, wz_ref, wr_ref, out_ref):
     Output lane width is a 128-padded singleton: [..., 0] holds E[depth]
     (+ background term), the rest zeros.
     """
-    tc, b, m, v = c_ref.shape
+    tc, m, b, v = c_ref.shape
     s = wz_ref.shape[2]
-    c2 = c_ref[:].reshape(tc * b * m, v)
+    c2 = c_ref[:].reshape(tc * m * b, v)
     t2 = jnp.dot(c2, wz_ref[0],
-                 preferred_element_type=jnp.float32)     # (Tc*B*M, S)
-    t2 = t2.reshape(tc, b, m, s)
+                 preferred_element_type=jnp.float32)     # (Tc*M*B, S)
+    t2 = t2.reshape(tc, m, b, s)
     wrb = wr_ref[0].astype(jnp.float32)                  # (M, S)
-    wq = jax.lax.broadcast_in_dim(wrb, t2.shape, (2, 3))
-    p = jnp.sum(t2 * wq, axis=2)                         # (tc, b, S)
+    wq = jax.lax.broadcast_in_dim(wrb, t2.shape, (1, 3))
+    p = jnp.sum(t2 * wq, axis=1)                         # (tc, b, S)
     p = jnp.clip(p, 1e-5, 1.0 - 1e-5)                    # reference clamp
     lg = jnp.log1p(-p)
     # cum[z] = sum_{z'<z} lg[z']: strictly-lower-triangular ones matmul
@@ -353,7 +354,7 @@ def _s2scan_kernel(c_ref, wz_ref, wr_ref, out_ref):
 
 
 def _s2scan_call(c, w, z_res, interpret):
-    th, b, m, v = c.shape
+    th, m, b, v = c.shape
     _, tc = _common_sizes(v, th, b)
     assert th % tc == 0, (th, tc)
     assert w["wz"].shape[0] == th, (w["wz"].shape, th)
@@ -361,7 +362,7 @@ def _s2scan_call(c, w, z_res, interpret):
         _s2scan_kernel,
         grid=(th // tc, th),        # (theta chunks, phi); Ph == Th
         in_specs=[
-            pl.BlockSpec((tc, b, m, v), lambda it, ip: (it, 0, 0, 0),
+            pl.BlockSpec((tc, m, b, v), lambda it, ip: (it, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, v, z_res), lambda it, ip: (ip, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -75,7 +75,7 @@ def main():
             V * V, B * V)
         return rk._s1_call(vox2, B, w, R, M, False)
 
-    c0 = jax.random.uniform(jax.random.PRNGKey(1), (R, B, M, V),
+    c0 = jax.random.uniform(jax.random.PRNGKey(1), (R, M, B, V),
                             jnp.float32, minval=0.0,
                             maxval=0.02).astype(rk.BF16)
 
@@ -90,23 +90,23 @@ def main():
         import functools
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
-        th, b, m, v = c.shape
+        th, m, b, v = c.shape
 
         def kern(c_ref, wz_ref, out_ref):
-            tc_, b_, m_, v_ = c_ref.shape
+            tc_, m_, b_, v_ = c_ref.shape
             s = wz_ref.shape[2]
-            c2 = c_ref[:].reshape(tc_ * b_ * m_, v_)
+            c2 = c_ref[:].reshape(tc_ * m_ * b_, v_)
             t2 = jnp.dot(c2, wz_ref[0], preferred_element_type=jnp.float32)
             # cheap reduce (max over m) so t2 isn't DCE'd; far below the
             # wr mul-reduce's cost
-            out_ref[0] = jnp.max(t2.reshape(tc_, b_, m_, s), axis=2)
+            out_ref[0] = jnp.max(t2.reshape(tc_, m_, b_, s), axis=1)
 
         _, tc = rk._common_sizes(v, th, b)
         return pl.pallas_call(
             kern,
             grid=(th // tc, th),
             in_specs=[
-                pl.BlockSpec((tc, b, m, v), lambda it, ip: (it, 0, 0, 0),
+                pl.BlockSpec((tc, m, b, v), lambda it, ip: (it, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, v, Z), lambda it, ip: (ip, 0, 0),
                              memory_space=pltpu.VMEM),

@@ -75,9 +75,9 @@ def main():
     def full(vox):
         return rk.render_expected_depth_pallas(vox, V, R, Z, M)
 
-    cd = np.asarray(jax.jit(s1_dense)(vox), np.float32)
-    cs = np.asarray(jax.jit(s1_sparse)(vox), np.float32)
-    err = np.abs(cd - cs)
+    cd = np.asarray(jax.jit(s1_dense)(vox), np.float32)   # (Th, B, M, V)
+    cs = np.asarray(jax.jit(s1_sparse)(vox), np.float32)  # (Th, M, B, V)
+    err = np.abs(cd - cs.transpose(0, 2, 1, 3))
     print(f"parity dense vs sparse: mean {err.mean():.2e} "
           f"max {err.max():.2e} (scale {np.abs(cd).max():.3f})", flush=True)
 
