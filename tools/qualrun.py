@@ -133,6 +133,9 @@ def dump_examples(examples, outdir, tag):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--steps0", type=int, default=2000,
+                    help="net1 (2.5D prediction) pretrain steps "
+                         "(--full_pipeline only)")
     ap.add_argument("--steps1", type=int, default=1500,
                     help="inpainting pretrain steps (stage 1)")
     ap.add_argument("--steps2", type=int, default=4000,
@@ -153,6 +156,15 @@ def main():
     ap.add_argument("--skip1", action="store_true",
                     help="reuse an existing stage-1 checkpoint "
                          "(<logdir>/inpaint.pt) instead of retraining")
+    ap.add_argument("--full_pipeline", action="store_true",
+                    help="no GT-depth oracle anywhere: stage 0 trains net1 "
+                         "(RGB -> 2.5D, the reference's marrnet1 step), and "
+                         "the geometry chain runs on net1's PREDICTED depth "
+                         "through training and eval -- the complete "
+                         "reference workflow (README.md:136-156)")
+    ap.add_argument("--skip0", action="store_true",
+                    help="reuse an existing stage-0 checkpoint "
+                         "(<logdir>/net1.pt) instead of retraining")
     args = ap.parse_args()
 
     if args.cpu:
@@ -170,17 +182,43 @@ def main():
                 padding_margin=16) if args.tiny else \
         dict(im_size=256, vox_res=128, sph_res=128, z_res=256,
              padding_margin=16)
-    common = dict(batch_size=args.batch, lr=args.lr, gt_depth_input=True,
+    common = dict(batch_size=args.batch, lr=args.lr,
+                  gt_depth_input=not args.full_pipeline,
                   procedural_length=args.train_n, workers=args.workers,
                   dtype="bfloat16", log_every=8, **dims)
     os.makedirs(args.logdir, exist_ok=True)
-    report = {"config": {**common, "steps1": args.steps1,
-                         "steps2": args.steps2}}
+    report = {"config": {**common, "steps0": args.steps0,
+                         "steps1": args.steps1, "steps2": args.steps2,
+                         "full_pipeline": args.full_pipeline}}
 
     import jax
     from genre_shapehd_tpu.core.cache import enable_compile_cache
+    from genre_shapehd_tpu.parallel import mesh as pmesh
     enable_compile_cache()
     report["backend"] = jax.default_backend()
+
+    # ------------------------------ stage 0: net1 2.5D prediction (full
+    # pipeline only; the reference's marrnet1 pretraining step)
+    ckpt0 = os.path.join(args.logdir, "net1.pt")
+    if args.full_pipeline:
+        if args.skip0 and os.path.exists(ckpt0):
+            report["stage0"] = {"reused": ckpt0}
+            print(f"[qualrun] stage0 reused: {ckpt0}")
+        else:
+            t0 = time.time()
+            opt0 = default_opt(**common, pred_depth_minmax=True)
+            model0, trainer0, tl0, vl0 = build("marrnet1", opt0)
+            spe = min(100, args.steps0)
+            log0 = trainer0.fit(tl0, vl0,
+                                epochs=max(args.steps0 // spe, 1),
+                                steps_per_epoch=spe, eval_batches=2,
+                                rng=jax.random.PRNGKey(7))
+            trainer0.save(ckpt0, epoch=args.steps0)
+            report["stage0"] = {
+                "final_log": {k: float(v) for k, v in log0.items()},
+                "seconds": round(time.time() - t0, 1)}
+            print(f"[qualrun] stage0 done in "
+                  f"{report['stage0']['seconds']}s: {log0}")
 
     # ---------------------------------------------- stage 1: inpainting
     ckpt1 = os.path.join(args.logdir, "inpaint.pt")
@@ -192,6 +230,13 @@ def main():
         opt1 = default_opt(**common)
         model1, trainer1, tl1, vl1 = build("depth_pred_with_sph_inpaint",
                                            opt1)
+        if args.full_pipeline:
+            # net1 (frozen by default, stop_gradient in the net) supplies
+            # the predicted depth that feeds the geometry chain
+            trainer1.state = model1.load_subnet(trainer1.state, "net1",
+                                                ckpt0)
+            trainer1.state = pmesh.replicate_state(trainer1.state,
+                                                   trainer1.mesh)
         spe = min(100, args.steps1)
         log1 = trainer1.fit(tl1, vl1, epochs=max(args.steps1 // spe, 1),
                             steps_per_epoch=spe, eval_batches=2,
@@ -215,7 +260,6 @@ def main():
     t0 = time.time()
     trainer2.state = model2.load_subnet(trainer2.state, "depth_and_inpaint",
                                         ckpt1)
-    from genre_shapehd_tpu.parallel import mesh as pmesh
     trainer2.state = pmesh.replicate_state(trainer2.state, trainer2.mesh)
     spe = min(100, args.steps2)
     log2 = trainer2.fit(tl2, vl2, epochs=max(args.steps2 // spe, 1),
@@ -247,12 +291,23 @@ def main():
 def write_markdown(path, report):
     u, t = report["untrained"], report["trained"]
     cfg = report["config"]
+    full = cfg.get("full_pipeline")
+    mode = (
+        "with NO oracle anywhere: stage 0 trains net1 (RGB -> 2.5D, the "
+        "reference's marrnet1 step) and the geometry chain consumes net1's "
+        "PREDICTED depth through training and eval -- the complete RGB -> "
+        "3D reference workflow (README.md:136-156)"
+        if full else
+        "with oracle GT depth inputs (`--gt_depth_input`)")
     lines = [
-        "# QUALRUN — reconstruction quality on the procedural benchmark",
+        "# QUALRUN — reconstruction quality on the procedural benchmark"
+        + (" (full RGB pipeline)" if full else ""),
         "",
-        "Staged GenRe training (inpaint -> full refine, the reference's "
-        "train_inpaint.sh -> train_full_genre.sh workflow) with oracle GT "
-        "depth inputs (`--gt_depth_input`) on analytic scenes "
+        "Staged GenRe training (" + ("net1 -> " if full else "")
+        + "inpaint -> full refine, the reference's "
+        + ("train_marrnet1.sh -> " if full else "")
+        + "train_inpaint.sh -> train_full_genre.sh workflow) "
+        + mode + " on analytic scenes "
         "(`genre_shapehd_tpu/data/procedural.py`): random unions of rotated "
         "boxes/ellipsoids with exact multi-modal GT, geometric consistency "
         "pinned by `tests/test_procedural_data.py`.",
@@ -261,6 +316,13 @@ def write_markdown(path, report):
         f"batch {cfg['batch_size']}, lr {cfg['lr']}",
         f"- resolutions: voxel {cfg['vox_res']}^3, image {cfg['im_size']}^2, "
         f"spherical {cfg['sph_res']}^2, z_res {cfg['z_res']}",
+    ] + ([
+        f"- stage 0 (net1 2.5D prediction): {cfg['steps0']} steps, "
+        + (f"{report['stage0']['seconds']}s, final "
+           f"{json.dumps(report['stage0']['final_log'])}"
+           if "seconds" in report.get("stage0", {})
+           else f"reused checkpoint {report['stage0']['reused']}")
+    ] if full else []) + [
         f"- stage 1 (spherical inpainting): {cfg['steps1']} steps, "
         + (f"{report['stage1']['seconds']}s, final "
            f"{json.dumps(report['stage1']['final_log'])}"
