@@ -88,6 +88,15 @@ def main():
         .compile().cost_analysis()
     flops_per_call = float((cost or {}).get("flops", 0.0))
     bytes_per_call = float((cost or {}).get("bytes accessed", 0.0))
+    # cost_analysis cannot see inside pallas_call: add the fused
+    # renderer's analytic counts when the Pallas route is active
+    from genre_shapehd_tpu.ops.render_sph_fast import _use_pallas_default
+    if _use_pallas_default(128, 128, 256):
+        from genre_shapehd_tpu.ops.pallas.render_kernel import \
+            fused_render_cost
+        pf, pb = fused_render_cost(BATCH, 128, 128, 256)
+        flops_per_call += pf
+        bytes_per_call += pb
     tflops = flops_per_call / BATCH * recon_per_sec / 1e12
     gbps = bytes_per_call / BATCH * recon_per_sec / 1e9
 

@@ -213,6 +213,38 @@ def _s1_sparse_call(vox3, b, vox_res, sph_res, z_res, rho_res, interpret):
     )(jnp.asarray(x0s), jnp.asarray(y0s), vox3, w2c)
 
 
+def fused_render_cost(b: int, vox_res: int, sph_res: int = 128,
+                      z_res: int = 256, rho_res: int = 192):
+    """Analytic (flops, bytes) of one fused forward call
+    (_s1_sparse_call + _s2scan_call) at batch ``b``.
+
+    XLA's ``cost_analysis`` cannot see inside ``pallas_call``, so any
+    roofline built on it alone under-counts the renderer by ~4x flops;
+    bench.py adds these counts.  Formulas mirror the kernels above:
+      stage 1: per (theta, rho-block): one (MB, XW^2) x (XW^2, B*V) dot,
+        reading the XWxXW rectangle + compact weights, writing (MB, B*V).
+      stage 2: per (theta-chunk, phi): one (tc*M*B, V) x (V, S) dot, the
+        (tc*B, S) x (S, S) triangular scan dot, reading the wz/wr blocks
+        (the c chunk stays resident across the inner phi sweep), writing
+        the lane-padded (tc, B, 128) output.
+    """
+    v, th = vox_res, sph_res
+    _, _, _, _, mb, xw = _s1_sparse_plan_np(vox_res, sph_res, z_res,
+                                            rho_res)
+    nmb = rho_res // mb
+    s1_macs = th * nmb * (mb * xw * xw * b * v)
+    s1_bytes = 2 * (th * nmb * (xw * xw * b * v + mb * xw * xw)
+                    + th * rho_res * b * v)                 # bf16
+    _, tc = _common_sizes(v, th, b)
+    pts = (th // tc) * th
+    s2_macs = pts * (tc * rho_res * b * v * z_res
+                     + tc * b * z_res * z_res)              # dot + scan
+    s2_bytes = (2 * (th * rho_res * b * v                   # c read once
+                     + pts * (v * z_res + rho_res * z_res))  # wz + wr
+                + 4 * th * th * b * 128)                    # padded out
+    return 2.0 * (s1_macs + s2_macs), float(s1_bytes + s2_bytes)
+
+
 def _s1_kernel(vox2_ref, w2_ref, c_ref, acc):
     """c[th, m, b*z] = W2[th] @ vox2, accumulated over xy-chunks."""
     ik = pl.program_id(1)
