@@ -177,13 +177,6 @@ def _conv2d_lanepack(x2, w2, stride, pad, wb, dtype):
     return t[:, :, :wo]
 
 
-def _lanepack_wb(cout: int, wo: int) -> int:
-    """Pick the w-block so wb*cout lands in [96, 256] without exceeding
-    the (padded) output width."""
-    wb = max(1, min(-(-96 // cout), wo))
-    return wb
-
-
 def _conv3d_stride1_scan2d(xb, w, dtype):
     """VALID stride-1 3D conv as k accumulated per-depth-tap 2D convs.
 
