@@ -429,13 +429,27 @@ def render_expected_depth_pallas(vox, vox_res, sph_res=128, z_res=256,
                             interpret)[0]
 
 
+def _s1_auto(vox, b, v, w, sph_res, z_res, rho_res, interpret):
+    """Sparse stage 1 when its double-buffered rectangle scratch fits
+    VMEM (~16MB/core); the dense kernel (whose chunk sizes scale down
+    with batch) otherwise.  Both emit (Th, M, B, V)."""
+    _, _, _, _, _, xw = _s1_sparse_plan_np(v, sph_res, z_res, rho_res)
+    if 2 * xw * xw * b * v * 2 <= 12 * 2 ** 20:
+        vox3 = jnp.transpose(vox.astype(BF16), (1, 2, 0, 3)).reshape(
+            v, v, b * v)
+        return _s1_sparse_call(vox3, b, v, sph_res, z_res, rho_res,
+                               interpret)
+    vox2 = jnp.transpose(vox.astype(BF16), (1, 2, 0, 3)).reshape(
+        v * v, b * v)
+    c = _s1_call(vox2, b, w, sph_res, rho_res, interpret)  # (Th, B, M, V)
+    return jnp.swapaxes(c, 1, 2)
+
+
 def _render_expd_fwd(vox, vox_res, sph_res, z_res, rho_res, interpret):
     assert vox.shape[1] == vox_res, (vox.shape, vox_res)
     b, v = vox.shape[0], vox_res
     w = _pallas_weights(vox_res, sph_res, z_res, rho_res)
-    vox3 = jnp.transpose(vox.astype(BF16), (1, 2, 0, 3)).reshape(
-        v, v, b * v)
-    c = _s1_sparse_call(vox3, b, v, sph_res, z_res, rho_res, interpret)
+    c = _s1_auto(vox, b, v, w, sph_res, z_res, rho_res, interpret)
     out_t = _s2scan_call(c, w, z_res, interpret)         # (Ph, Th, B)
     return jnp.transpose(out_t, (2, 0, 1)), vox
 
@@ -477,10 +491,8 @@ def _sample_fwd(vox, vox_res, sph_res, z_res, rho_res, interpret):
     assert vox.shape[1] == vox_res, (vox.shape, vox_res)
     b, v = vox.shape[0], vox_res
     w = _pallas_weights(vox_res, sph_res, z_res, rho_res)
-    vox3 = jnp.transpose(vox.astype(BF16), (1, 2, 0, 3)).reshape(
-        v, v, b * v)                                         # (X, Y, B*Z)
-    c = _s1_sparse_call(vox3, b, v, sph_res, z_res, rho_res,
-                        interpret)                           # (Th, B, M, V)
+    c = _s1_auto(vox, b, v, w, sph_res, z_res, rho_res,
+                 interpret)                                  # (Th, M, B, V)
     out_t = _s2_call(c, w, z_res, interpret)                 # (Ph, Th, B, S)
     out = jnp.transpose(out_t, (2, 0, 1, 3))                 # (B, R, R, S)
     return out, None
