@@ -72,10 +72,10 @@ def _dense_w2(w):
             * w["wy_t"][:, :, None, :]).reshape(th, m, v * v)
 
 
-@functools.lru_cache(maxsize=4)
+@functools.lru_cache(maxsize=8)
 def _s1_sparse_plan_np(vox_res: int, sph_res: int, z_res: int,
-                       rho_res: int):
-    """Block-sparse stage-1 plan: per (theta, rho-block) support rectangles.
+                       rho_res: int, tg: int = 1):
+    """Block-sparse stage-1 plan: per (theta-group, rho-block) rectangles.
 
     W2[th, m, (x, y)] = wx[th,x,m] * wy[th,y,m] is hat-sparse: the (x, y)
     support of rho-block [m0, m0+MB) is the bounding rectangle of a ray
@@ -85,23 +85,34 @@ def _s1_sparse_plan_np(vox_res: int, sph_res: int, z_res: int,
     the whole volume per theta; the rectangles cut stage-1 FLOPs ~7x and
     HBM reads ~2.4x.
 
-    Returns (x0s, y0s) int32 (Th, NMB) window origins and compact weight
-    factors wxc, wyc float32 (Th, NMB, MB, XW) with
-    wxc[t, j, m, dx] = wx[t, x0s[t,j] + dx, j*MB + m].
+    ``tg`` groups consecutive thetas onto ONE shared rectangle: the
+    window center moves by ~rho*sin(th)*dth per theta step, exactly where
+    the span ~|cos th| shrinks, so the union window over 8 adjacent
+    thetas is still 48x48 at full scale (measured: union span 40 vs 32
+    single-theta).  Rectangle fetches -- the stage-1 DMA floor -- divide
+    by ``tg`` while the per-step dot grows to (tg*MB, XW^2) x (XW^2, B*V),
+    hiding the remaining traffic behind MXU work.
+
+    Returns (x0s, y0s) int32 (Th//tg, NMB) window origins and compact
+    weight factors wxc, wyc float32 (Th//tg, NMB, tg*MB, XW) with
+    wxc[t, j, i*MB + m, dx] = wx[t*tg + i, x0s[t,j] + dx, j*MB + m].
     """
     wx, wy, _, _ = _stage_weights(vox_res, sph_res, z_res, rho_res)
     v = vox_res
+    assert sph_res % tg == 0, (sph_res, tg)
+    ntg = sph_res // tg
     mb = 64 if rho_res % 64 == 0 else rho_res
     nmb = rho_res // mb
 
     def plan(w):
-        # w: (Th, V, M) -> origins (Th, NMB) and max in-range span
-        origins = np.zeros((sph_res, nmb), np.int64)
+        # w: (Th, V, M) -> group origins (Th//tg, NMB), max in-range span
+        origins = np.zeros((ntg, nmb), np.int64)
         span = 1
-        for t in range(sph_res):
+        for t in range(ntg):
             for j in range(nmb):
-                rows = np.nonzero(
-                    np.any(w[t][:, j * mb:(j + 1) * mb] != 0.0, axis=1))[0]
+                rows = np.nonzero(np.any(
+                    w[t * tg:(t + 1) * tg][:, :, j * mb:(j + 1) * mb]
+                    != 0.0, axis=(0, 2)))[0]
                 if len(rows):
                     span = max(span, int(rows.max() - rows.min() + 1))
                     origins[t, j] = int(rows.min())
@@ -116,11 +127,13 @@ def _s1_sparse_plan_np(vox_res: int, sph_res: int, z_res: int,
     oy = np.clip((oy // 8) * 8, 0, v - xw)
 
     def compact(w, origins):
-        out = np.zeros((sph_res, nmb, mb, xw), np.float32)
-        for t in range(sph_res):
+        out = np.zeros((ntg, nmb, tg * mb, xw), np.float32)
+        for t in range(ntg):
             for j in range(nmb):
                 x0 = origins[t, j]
-                out[t, j] = w[t][x0:x0 + xw, j * mb:(j + 1) * mb].T
+                for i in range(tg):
+                    out[t, j, i * mb:(i + 1) * mb] = \
+                        w[t * tg + i][x0:x0 + xw, j * mb:(j + 1) * mb].T
         return out
 
     # origins are stored pre-divided by 8 (they are 8-aligned above); the
@@ -129,13 +142,39 @@ def _s1_sparse_plan_np(vox_res: int, sph_res: int, z_res: int,
             compact(wx, ox), compact(wy, oy), mb, xw)
 
 
+def _s1_sparse_tg(vox_res: int, sph_res: int, z_res: int, rho_res: int,
+                  b: int):
+    """Pick the theta-group size: the candidate minimizing total
+    rectangle DMA (steps * window^2) whose VMEM footprint -- the
+    double-buffered scratch plus the per-step weight/output/accumulator
+    blocks -- stays within budget.  Returns None if none fit (callers
+    fall back to the dense kernel)."""
+    best = None
+    for tg in (8, 4, 2, 1):
+        if sph_res % tg:
+            continue
+        _, _, _, _, mb, xw = _s1_sparse_plan_np(vox_res, sph_res, z_res,
+                                                rho_res, tg)
+        bz = b * vox_res
+        vmem = (2 * xw * xw * bz * 2          # double-buffered rectangles
+                + tg * mb * xw * xw * 2       # w2c block (bf16)
+                + tg * mb * bz * (2 + 4))     # out block + f32 accumulator
+        if vmem > 14 * 2 ** 20:
+            continue
+        cost = (sph_res // tg) * xw * xw
+        if best is None or cost < best[0]:
+            best = (cost, tg)
+    return None if best is None else best[1]
+
+
 def _s1_sparse_kernel(x0_ref, y0_ref, vox3_ref, w2c_ref, c_ref, scratch,
                       sems):
-    """c[th, b, m-block, v] = W2c[th, mb] @ vox[rect(th, mb)].
+    """c[theta-group, m-block] = W2c[group, mb] @ vox[rect(group, mb)].
 
-    The support rectangle is DMA'd from the HBM-resident volume at the
-    scalar-prefetched per-(theta, rho-block) origin; the contraction runs
-    as one (MB, XW*XW) x (XW*XW, B*V) MXU dot.  Rectangle fetches are
+    The shared support rectangle of ``tg`` consecutive thetas is DMA'd
+    from the HBM-resident volume at the scalar-prefetched
+    per-(theta-group, rho-block) origin; the contraction runs as one
+    (tg*MB, XW*XW) x (XW*XW, B*V) MXU dot.  Rectangle fetches are
     double-buffered across grid steps: step i kicks off step i+1's copy
     before waiting on its own, overlapping HBM traffic with the dot.
     """
@@ -165,39 +204,41 @@ def _s1_sparse_kernel(x0_ref, y0_ref, vox3_ref, w2c_ref, c_ref, scratch,
         rect_dma(flat + 1, (flat + 1) % 2).start()
 
     rect_dma(flat, flat % 2).wait()
-    mb, bz = w2c_ref.shape[2], scratch.shape[3]
+    gmb, bz = w2c_ref.shape[2], scratch.shape[3]
     block = scratch[flat % 2].reshape(xw * xw, bz)
     acc = jnp.dot(w2c_ref[0, 0], block,
-                  preferred_element_type=jnp.float32)       # (MB, B*Z)
-    b = c_ref.shape[2]
-    # (Th, M, B, V) output order: the natural (m, b, v) accumulator
-    # layout needs no in-kernel transpose
-    c_ref[0] = acc.reshape(mb, b, bz // b).astype(c_ref.dtype)
+                  preferred_element_type=jnp.float32)       # (tg*MB, B*Z)
+    tg, mb, b = c_ref.shape[0], c_ref.shape[1], c_ref.shape[2]
+    # (Th, M, B, V) output order: the natural (theta, m, b, v)
+    # accumulator layout needs no in-kernel transpose
+    c_ref[...] = acc.reshape(tg, mb, b, bz // b).astype(c_ref.dtype)
 
 
-def _s1_sparse_call(vox3, b, vox_res, sph_res, z_res, rho_res, interpret):
+def _s1_sparse_call(vox3, b, vox_res, sph_res, z_res, rho_res, interpret,
+                    tg=1):
     """vox3: (X, Y, B*Z) -> c: (Th, M, B, V) via support rectangles."""
     v = vox_res
     x0s, y0s, wxc, wyc, mb, xw = _s1_sparse_plan_np(
-        vox_res, sph_res, z_res, rho_res)
+        vox_res, sph_res, z_res, rho_res, tg)
+    ntg = sph_res // tg
     nmb = rho_res // mb
     # compact joint weights, computed in-graph (loop-invariant, hoisted);
     # ~113MB bf16 at full scale vs the dense form's 805MB
     w2c = (jnp.asarray(wxc, BF16)[:, :, :, :, None]
            * jnp.asarray(wyc, BF16)[:, :, :, None, :]).reshape(
-               sph_res, nmb, mb, xw * xw)
+               ntg, nmb, tg * mb, xw * xw)
     bz = vox3.shape[2]
     assert vox3.shape == (v, v, bz) and bz == b * v, (vox3.shape, b)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(sph_res, nmb),
+        grid=(ntg, nmb),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, mb, xw * xw),
+            pl.BlockSpec((1, 1, tg * mb, xw * xw),
                          lambda it, imb, x0s, y0s: (it, imb, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, mb, b, v),
+        out_specs=pl.BlockSpec((tg, mb, b, v),
                                lambda it, imb, x0s, y0s: (it, imb, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -221,19 +262,22 @@ def fused_render_cost(b: int, vox_res: int, sph_res: int = 128,
     XLA's ``cost_analysis`` cannot see inside ``pallas_call``, so any
     roofline built on it alone under-counts the renderer by ~4x flops;
     bench.py adds these counts.  Formulas mirror the kernels above:
-      stage 1: per (theta, rho-block): one (MB, XW^2) x (XW^2, B*V) dot,
-        reading the XWxXW rectangle + compact weights, writing (MB, B*V).
+      stage 1: per (theta-group, rho-block): one (tg*MB, XW^2) x
+        (XW^2, B*V) dot, reading the shared XWxXW rectangle + compact
+        weights, writing (tg*MB, B*V).
       stage 2: per (theta-chunk, phi): one (tc*M*B, V) x (V, S) dot, the
         (tc*B, S) x (S, S) triangular scan dot, reading the wz/wr blocks
         (the c chunk stays resident across the inner phi sweep), writing
         the lane-padded (tc, B, 128) output.
     """
     v, th = vox_res, sph_res
+    tg = _s1_sparse_tg(vox_res, sph_res, z_res, rho_res, b) or 1
     _, _, _, _, mb, xw = _s1_sparse_plan_np(vox_res, sph_res, z_res,
-                                            rho_res)
+                                            rho_res, tg)
     nmb = rho_res // mb
+    ntg = th // tg
     s1_macs = th * nmb * (mb * xw * xw * b * v)
-    s1_bytes = 2 * (th * nmb * (xw * xw * b * v + mb * xw * xw)
+    s1_bytes = 2 * (ntg * nmb * (xw * xw * b * v + tg * mb * xw * xw)
                     + th * rho_res * b * v)                 # bf16
     _, tc = _common_sizes(v, th, b)
     pts = (th // tc) * th
@@ -430,15 +474,15 @@ def render_expected_depth_pallas(vox, vox_res, sph_res=128, z_res=256,
 
 
 def _s1_auto(vox, b, v, w, sph_res, z_res, rho_res, interpret):
-    """Sparse stage 1 when its double-buffered rectangle scratch fits
-    VMEM (~16MB/core); the dense kernel (whose chunk sizes scale down
-    with batch) otherwise.  Both emit (Th, M, B, V)."""
-    _, _, _, _, _, xw = _s1_sparse_plan_np(v, sph_res, z_res, rho_res)
-    if 2 * xw * xw * b * v * 2 <= 12 * 2 ** 20:
+    """Sparse stage 1 (largest theta group whose blocks fit VMEM,
+    ~16MB/core); the dense kernel (whose chunk sizes scale down with
+    batch) otherwise.  Both emit (Th, M, B, V)."""
+    tg = _s1_sparse_tg(v, sph_res, z_res, rho_res, b)
+    if tg is not None:
         vox3 = jnp.transpose(vox.astype(BF16), (1, 2, 0, 3)).reshape(
             v, v, b * v)
         return _s1_sparse_call(vox3, b, v, sph_res, z_res, rho_res,
-                               interpret)
+                               interpret, tg)
     vox2 = jnp.transpose(vox.astype(BF16), (1, 2, 0, 3)).reshape(
         v * v, b * v)
     c = _s1_call(vox2, b, w, sph_res, rho_res, interpret)  # (Th, B, M, V)

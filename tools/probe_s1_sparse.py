@@ -57,8 +57,9 @@ def main():
     B, V, R, Z, M = 8, 128, 128, 256, 192
     vox = jax.random.uniform(rng, (B, V, V, V), jnp.float32,
                              minval=1e-4, maxval=1.0 - 1e-4)
-    x0s, y0s, wxc, wyc, mb, xw = rk._s1_sparse_plan_np(V, R, Z, M)
-    print(f"plan: MB={mb} window={xw}x{xw} "
+    tg = rk._s1_sparse_tg(V, R, Z, M, B) or 1
+    x0s, y0s, wxc, wyc, mb, xw = rk._s1_sparse_plan_np(V, R, Z, M, tg)
+    print(f"plan: theta-group={tg} MB={mb} window={xw}x{xw} "
           f"K={xw * xw} (dense {V * V})", flush=True)
 
     def s1_dense(vox):
@@ -70,7 +71,7 @@ def main():
     def s1_sparse(vox):
         vox3 = jnp.transpose(vox.astype(rk.BF16), (1, 2, 0, 3)).reshape(
             V, V, B * V)
-        return rk._s1_sparse_call(vox3, B, V, R, Z, M, False)
+        return rk._s1_sparse_call(vox3, B, V, R, Z, M, False, tg)
 
     def full(vox):
         return rk.render_expected_depth_pallas(vox, V, R, Z, M)
