@@ -136,10 +136,18 @@ def main():
     ap.add_argument("--steps0", type=int, default=2000,
                     help="net1 (2.5D prediction) pretrain steps "
                          "(--full_pipeline only)")
+    ap.add_argument("--steps0b", type=int, default=0,
+                    help="extra net1 steps at --lr_b (staged lr decay, the "
+                         "manual restart-at-lower-lr workflow the "
+                         "reference's resume+--lr flags support)")
     ap.add_argument("--steps1", type=int, default=1500,
                     help="inpainting pretrain steps (stage 1)")
     ap.add_argument("--steps2", type=int, default=4000,
                     help="full-genre refine steps (stage 2)")
+    ap.add_argument("--steps2b", type=int, default=0,
+                    help="extra refine steps at --lr_b after stage 2")
+    ap.add_argument("--lr_b", type=float, default=None,
+                    help="decayed lr for the *b phases (default lr/10)")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--train_n", type=int, default=1024,
@@ -188,7 +196,10 @@ def main():
                   dtype="bfloat16", log_every=8, **dims)
     os.makedirs(args.logdir, exist_ok=True)
     report = {"config": {**common, "steps0": args.steps0,
-                         "steps1": args.steps1, "steps2": args.steps2,
+                         "steps0b": args.steps0b, "steps1": args.steps1,
+                         "steps2": args.steps2, "steps2b": args.steps2b,
+                         "lr_b": args.lr_b if args.lr_b is not None
+                         else args.lr / 10,
                          "full_pipeline": args.full_pipeline}}
 
     import jax
@@ -214,6 +225,19 @@ def main():
                                 steps_per_epoch=spe, eval_batches=2,
                                 rng=jax.random.PRNGKey(7))
             trainer0.save(ckpt0, epoch=args.steps0)
+            if args.steps0b:
+                lr_b = args.lr_b if args.lr_b is not None else args.lr / 10
+                opt0b = default_opt(**{**common, "lr": lr_b},
+                                    pred_depth_minmax=True)
+                model0, trainer0, tl0, vl0 = build("marrnet1", opt0b)
+                trainer0.load(ckpt0)
+                trainer0.start_epoch = 0   # fit() counts epochs from here
+                speb = min(100, args.steps0b)
+                log0 = trainer0.fit(tl0, vl0,
+                                    epochs=max(args.steps0b // speb, 1),
+                                    steps_per_epoch=speb, eval_batches=2,
+                                    rng=jax.random.PRNGKey(77))
+                trainer0.save(ckpt0, epoch=args.steps0 + args.steps0b)
             report["stage0"] = {
                 "final_log": {k: float(v) for k, v in log0.items()},
                 "seconds": round(time.time() - t0, 1)}
@@ -267,6 +291,17 @@ def main():
                         rng=jax.random.PRNGKey(2))
     ckpt2 = os.path.join(args.logdir, "genre.pt")
     trainer2.save(ckpt2, epoch=args.steps2)
+    if args.steps2b:
+        lr_b = args.lr_b if args.lr_b is not None else args.lr / 10
+        opt2b = default_opt(**{**common, "lr": lr_b}, inpaint_path=None)
+        model2, trainer2, tl2, vl2 = build("genre_full_model", opt2b)
+        trainer2.load(ckpt2)
+        trainer2.start_epoch = 0
+        speb = min(100, args.steps2b)
+        log2 = trainer2.fit(tl2, vl2, epochs=max(args.steps2b // speb, 1),
+                            steps_per_epoch=speb, eval_batches=2,
+                            rng=jax.random.PRNGKey(22))
+        trainer2.save(ckpt2, epoch=args.steps2 + args.steps2b)
     report["stage2"] = {"final_log": {k: float(v) for k, v in log2.items()},
                         "seconds": round(time.time() - t0, 1)}
     print(f"[qualrun] stage2 done in {report['stage2']['seconds']}s: {log2}")
@@ -317,7 +352,9 @@ def write_markdown(path, report):
         f"- resolutions: voxel {cfg['vox_res']}^3, image {cfg['im_size']}^2, "
         f"spherical {cfg['sph_res']}^2, z_res {cfg['z_res']}",
     ] + ([
-        f"- stage 0 (net1 2.5D prediction): {cfg['steps0']} steps, "
+        f"- stage 0 (net1 2.5D prediction): {cfg['steps0']} steps"
+        + (f" + {cfg['steps0b']} at lr {cfg['lr_b']}"
+           if cfg.get("steps0b") else "") + ", "
         + (f"{report['stage0']['seconds']}s, final "
            f"{json.dumps(report['stage0']['final_log'])}"
            if "seconds" in report.get("stage0", {})
@@ -328,7 +365,9 @@ def write_markdown(path, report):
            f"{json.dumps(report['stage1']['final_log'])}"
            if "seconds" in report["stage1"]
            else f"reused checkpoint {report['stage1']['reused']}"),
-        f"- stage 2 (voxel refinement): {cfg['steps2']} steps, "
+        f"- stage 2 (voxel refinement): {cfg['steps2']} steps"
+        + (f" + {cfg['steps2b']} at lr {cfg['lr_b']}"
+           if cfg.get("steps2b") else "") + ", "
         f"{report['stage2']['seconds']}s, final "
         f"{json.dumps(report['stage2']['final_log'])}",
         f"- held-out scenes: {t['n_items']} (disjoint seed range from "
