@@ -148,6 +148,15 @@ def main():
                     help="extra refine steps at --lr_b after stage 2")
     ap.add_argument("--lr_b", type=float, default=None,
                     help="decayed lr for the *b phases (default lr/10)")
+    ap.add_argument("--init0", default=None,
+                    help="warm-start stage 0 from an existing net1 "
+                         "checkpoint (continued training at --lr0; the "
+                         "reference's resume-at-lower-lr workflow, "
+                         "train.py:144-171 + --lr)")
+    ap.add_argument("--lr0", type=float, default=None,
+                    help="stage-0 phase-a lr override (default --lr)")
+    ap.add_argument("--lr0b", type=float, default=None,
+                    help="stage-0 phase-b lr override (default --lr_b)")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--train_n", type=int, default=1024,
@@ -200,6 +209,8 @@ def main():
                          "steps2": args.steps2, "steps2b": args.steps2b,
                          "lr_b": args.lr_b if args.lr_b is not None
                          else args.lr / 10,
+                         "init0": args.init0, "lr0": args.lr0,
+                         "lr0b": args.lr0b,
                          "full_pipeline": args.full_pipeline}}
 
     import jax
@@ -217,8 +228,14 @@ def main():
             print(f"[qualrun] stage0 reused: {ckpt0}")
         else:
             t0 = time.time()
-            opt0 = default_opt(**common, pred_depth_minmax=True)
+            opt0 = default_opt(**{**common,
+                                  "lr": args.lr0 if args.lr0 is not None
+                                  else args.lr},
+                               pred_depth_minmax=True)
             model0, trainer0, tl0, vl0 = build("marrnet1", opt0)
+            if args.init0:
+                trainer0.load(args.init0)
+                trainer0.start_epoch = 0
             spe = min(100, args.steps0)
             log0 = trainer0.fit(tl0, vl0,
                                 epochs=max(args.steps0 // spe, 1),
@@ -227,6 +244,8 @@ def main():
             trainer0.save(ckpt0, epoch=args.steps0)
             if args.steps0b:
                 lr_b = args.lr_b if args.lr_b is not None else args.lr / 10
+                if args.lr0b is not None:
+                    lr_b = args.lr0b
                 opt0b = default_opt(**{**common, "lr": lr_b},
                                     pred_depth_minmax=True)
                 model0, trainer0, tl0, vl0 = build("marrnet1", opt0b)
