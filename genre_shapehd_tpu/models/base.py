@@ -46,7 +46,8 @@ def default_opt(**overrides) -> SimpleNamespace:
         # model flags (reference add_arguments defaults)
         pred_depth_minmax=False, canon_sup=False, joint_train=False,
         load_offline=False, net1_path=None, inpaint_path=None,
-        surface_weight=1.0, canon_voxel=False, wgangp_lambda=10.0,
+        surface_weight=1.0, joint_w25d=1.0, canon_voxel=False,
+        wgangp_lambda=10.0,
         wgangp_norm=1.0, gan_d_iter=1, marrnet1=None, marrnet2=None,
         gan=None, w_gan_loss=0.0, marrnet1_file=None, net_file=None,
         output_dir=None, backbone_init=None, sp=1, exact_render=False,

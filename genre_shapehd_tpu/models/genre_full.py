@@ -90,8 +90,18 @@ class Model(DepthInpaintModel):
                             help="pretrained inpainting module checkpoint")
         parser.add_argument("--surface_weight", default=1.0, type=float,
                             help="weight for voxel surface prediction")
+        parser.add_argument("--joint_w25d", default=1.0, type=float,
+                            help="weight on the 2.5D+spherical supervision "
+                                 "under --joint_train (the per-component "
+                                 "metrics stay unscaled; only the summed "
+                                 "training loss is weighted). The raw 2.5D "
+                                 "losses are scale_25d^2-sized (~300) vs a "
+                                 "~0.05 voxel BCE, so end-to-end fine-tuning "
+                                 "through the differentiable geometry chain "
+                                 "needs this to let voxel gradients reach "
+                                 "net1")
         return parser, unique | {"surface_weight", "joint_train",
-                                 "inpaint_path"}
+                                 "inpaint_path", "joint_w25d"}
 
     def __init__(self, opt):
         super().__init__(opt)
@@ -104,6 +114,7 @@ class Model(DepthInpaintModel):
         self.gt_names = self.gt_names + ["voxel"]
         self.metrics = self.metrics + ["voxel_loss", "surface_loss"]
         self.surface_weight = float(getattr(opt, "surface_weight", 1.0))
+        self.joint_w25d = float(getattr(opt, "joint_w25d", 1.0))
         self.net = GenreNet(
             im_size=opt.im_size, vox_res=opt.vox_res, sph_res=opt.sph_res,
             z_res=opt.z_res, padding_margin=opt.padding_margin,
@@ -135,6 +146,7 @@ class Model(DepthInpaintModel):
     def compute_loss(self, pred, batch) -> Tuple[jnp.ndarray, Dict]:
         loss, loss_data = (DepthInpaintModel.compute_loss(self, pred, batch)
                            if self.joint_train else (0.0, {}))
+        loss = loss * self.joint_w25d
         # surface-shell GT derived IN-GRAPH (reduce_window erosion, ~ms on
         # TPU) instead of per-sample scipy erosion on the host, which
         # dominated data time (~0.4s/sample at 128^3); numerically equal to

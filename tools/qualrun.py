@@ -157,6 +157,23 @@ def main():
                     help="stage-0 phase-a lr override (default --lr)")
     ap.add_argument("--lr0b", type=float, default=None,
                     help="stage-0 phase-b lr override (default --lr_b)")
+    ap.add_argument("--init2", default=None,
+                    help="warm-start stage 2 from an existing full-genre "
+                         "checkpoint (continued refine training, or joint "
+                         "end-to-end fine-tuning with --joint2)")
+    ap.add_argument("--joint2", action="store_true",
+                    help="stage 2 trains the WHOLE chain end to end "
+                         "(--joint_train: no stop_gradient on net1, voxel "
+                         "loss gradients flow through cam_bp -> render -> "
+                         "inpaint -> spherical bp into net1 -- possible "
+                         "here because the spherical renderer is "
+                         "differentiable, unlike the reference's ray-cast "
+                         "test path, util_sph.py:36-57)")
+    ap.add_argument("--w25d", type=float, default=1.0,
+                    help="--joint_w25d for stage 2: weight on the 2.5D "
+                         "supervision relative to the voxel loss")
+    ap.add_argument("--lr2", type=float, default=None,
+                    help="stage-2 phase-a lr override (default --lr)")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--train_n", type=int, default=1024,
@@ -210,7 +227,9 @@ def main():
                          "lr_b": args.lr_b if args.lr_b is not None
                          else args.lr / 10,
                          "init0": args.init0, "lr0": args.lr0,
-                         "lr0b": args.lr0b,
+                         "lr0b": args.lr0b, "init2": args.init2,
+                         "joint2": args.joint2, "w25d": args.w25d,
+                         "lr2": args.lr2,
                          "full_pipeline": args.full_pipeline}}
 
     import jax
@@ -292,7 +311,9 @@ def main():
               f"{log1}")
 
     # ------------------------------- untrained baseline (fresh genre net)
-    opt2 = default_opt(**common, inpaint_path=None)
+    common2 = dict(common, joint_train=args.joint2, joint_w25d=args.w25d,
+                   lr=args.lr2 if args.lr2 is not None else args.lr)
+    opt2 = default_opt(**common2, inpaint_path=None)
     model2, trainer2, tl2, vl2 = build("genre_full_model", opt2)
     base_res, base_ex = eval_quality(model2, trainer2, vl2,
                                      max_batches=args.eval_batches,
@@ -301,9 +322,15 @@ def main():
 
     # ------------------------------------------ stage 2: voxel refinement
     t0 = time.time()
-    trainer2.state = model2.load_subnet(trainer2.state, "depth_and_inpaint",
-                                        ckpt1)
-    trainer2.state = pmesh.replicate_state(trainer2.state, trainer2.mesh)
+    if args.init2:
+        # continued training (optionally joint end-to-end fine-tuning) from
+        # a full-genre checkpoint of a previous run
+        trainer2.load(args.init2)
+        trainer2.start_epoch = 0
+    else:
+        trainer2.state = model2.load_subnet(trainer2.state,
+                                            "depth_and_inpaint", ckpt1)
+        trainer2.state = pmesh.replicate_state(trainer2.state, trainer2.mesh)
     spe = min(100, args.steps2)
     log2 = trainer2.fit(tl2, vl2, epochs=max(args.steps2 // spe, 1),
                         steps_per_epoch=spe, eval_batches=2,
@@ -312,7 +339,7 @@ def main():
     trainer2.save(ckpt2, epoch=args.steps2)
     if args.steps2b:
         lr_b = args.lr_b if args.lr_b is not None else args.lr / 10
-        opt2b = default_opt(**{**common, "lr": lr_b}, inpaint_path=None)
+        opt2b = default_opt(**{**common2, "lr": lr_b}, inpaint_path=None)
         model2, trainer2, tl2, vl2 = build("genre_full_model", opt2b)
         trainer2.load(ckpt2)
         trainer2.start_epoch = 0
