@@ -1,0 +1,89 @@
+"""Joint end-to-end fine-tuning through the differentiable geometry chain.
+
+The reference can only train the GenRe refinement with net1 frozen (its
+test-time spherical projection is non-differentiable ray casting,
+/root/reference/util/util_sph.py:36-57).  Here the spherical renderer is
+differentiable, so --joint_train lets voxel-loss gradients reach net1.
+These tests pin (a) the --joint_w25d loss weighting on the genre model
+and (b) the qualrun --init2/--joint2 warm-start plumbing.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _genre_model(w25d):
+    from genre_shapehd_tpu.core.registry import get_model
+    from genre_shapehd_tpu.models.base import default_opt
+    opt = default_opt(im_size=16, vox_res=8, sph_res=8, z_res=16,
+                      padding_margin=2, joint_train=True, joint_w25d=w25d)
+    return get_model("genre_full_model")(opt)
+
+
+def test_joint_w25d_scales_only_the_25d_supervision():
+    """L(w) == w * (2.5D + spherical part) + voxel part, exactly."""
+    rng = np.random.RandomState(0)
+    n, s, r = 2, 16, 8
+    m = 2  # padding_margin
+    pred = {
+        "normal": rng.randn(n, s, s, 3).astype(np.float32),
+        "depth": rng.randn(n, s, s, 1).astype(np.float32),
+        "silhou": rng.randn(n, s, s, 1).astype(np.float32),
+        "depth_minmax": rng.randn(n, 2).astype(np.float32),
+        "pred_sph_full": rng.randn(n, r + 2 * m, r + 2 * m, 1)
+        .astype(np.float32),
+        "pred_voxel": rng.randn(n, r, r, r).astype(np.float32),
+    }
+    batch = {
+        "normal": rng.randn(n, s, s, 3).astype(np.float32),
+        "depth": rng.randn(n, s, s, 1).astype(np.float32),
+        "silhou": (rng.rand(n, s, s, 1) > 0.5).astype(np.float32) * 100,
+        "depth_minmax": rng.randn(n, 2).astype(np.float32),
+        "spherical_object": rng.randn(n, r + 2 * m, r + 2 * m, 1)
+        .astype(np.float32),
+        "voxel": (rng.rand(n, r, r, r) > 0.7).astype(np.float32),
+    }
+    losses = {w: float(_genre_model(w).compute_loss(pred, batch)[0])
+              for w in (0.0, 0.25, 1.0)}
+    part_25d = losses[1.0] - losses[0.0]
+    assert part_25d > 0.0
+    np.testing.assert_allclose(losses[0.25],
+                               0.25 * part_25d + losses[0.0], rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_tiny_qualrun_init2_joint2_warm_start(tmp_path):
+    """qualrun --init2 + --joint2: a second invocation continues training
+    the whole chain end to end from the first run's genre checkpoint."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    base = [sys.executable, os.path.join(REPO, "tools", "qualrun.py"),
+            "--tiny", "--cpu", "--full_pipeline", "--batch", "4",
+            "--train_n", "16", "--workers", "2", "--eval_batches", "2",
+            "--logdir", str(tmp_path)]
+    out = subprocess.run(base + ["--steps0", "4", "--steps1", "4",
+                                 "--steps2", "4"],
+                         cwd=REPO, env=env, capture_output=True, text=True,
+                         timeout=2400)
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
+    assert (tmp_path / "genre.pt").exists()
+    out = subprocess.run(base + ["--skip0", "--skip1", "--steps2", "4",
+                                 "--init2", str(tmp_path / "genre.pt"),
+                                 "--joint2", "--w25d", "0.01",
+                                 "--lr2", "3e-5"],
+                         cwd=REPO, env=env, capture_output=True, text=True,
+                         timeout=2400)
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
+    with open(tmp_path / "qualrun.json") as f:
+        rep = json.load(f)
+    assert rep["config"]["joint2"] and rep["config"]["init2"]
+    # the joint loss must carry BOTH supervision families
+    log2 = rep["stage2"]["final_log"]
+    assert "voxel_loss" in log2 and "depth" in log2, log2
