@@ -148,8 +148,9 @@ class Model(ModelBase):
             g_updates, g_opt = self.tx_g.update(
                 g_grads, state.opt_state["net_g"], state.params["net_g"])
             g_params = optax.apply_updates(state.params["net_g"], g_updates)
-            # reported metric is -mean D(gen) (wgangp.py:131)
-            return g_params, g_stats, g_opt, -err_g
+            # reported metric is -mean D(gen) (wgangp.py:131); f32 so both
+            # lax.cond branches match the f32 last_err_g carry under bf16
+            return g_params, g_stats, g_opt, (-err_g).astype(jnp.float32)
 
         def g_skip(_):
             return (state.params["net_g"], g_stats_after_d,

@@ -65,6 +65,20 @@ def test_wgangp_gan_d_iter_skips_g_updates():
     assert float(m2["err_g"]) == pytest.approx(float(m1["err_g"]))
 
 
+def test_wgangp_train_step_bf16():
+    """bf16 compute: the lax.cond G-update/G-skip branches must agree on
+    the f32 err_g carry dtype (regression: bf16 -err_g vs f32 last_err_g)."""
+    opt = tiny_opt(canon_voxel=True, dtype="bfloat16", gan_d_iter=2)
+    model = get_model("wgangp")(opt)
+    state = model.init_state(jax.random.PRNGKey(0))
+    batch = make_batch(model, opt)
+    step = jax.jit(model.train_step)
+    s1, m1 = step(state, batch, jax.random.PRNGKey(1))
+    s2, m2 = step(s1, batch, jax.random.PRNGKey(2))   # G-skip branch
+    for k in ("err_d", "err_g", "loss"):
+        assert np.isfinite(float(m2[k])), k
+
+
 def test_wgangp_eval_step():
     opt = tiny_opt(canon_voxel=True)
     model = get_model("wgangp")(opt)

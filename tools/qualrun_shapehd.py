@@ -1,0 +1,366 @@
+"""Reconstruction-quality benchmark for the MarrNet-2 / ShapeHD family.
+
+Complements tools/qualrun.py (which proves the GenRe geometry chain):
+this driver runs the reference's OTHER training workflow
+(scripts/train_marrnet2.sh -> scripts/train_wgangp.sh ->
+scripts/finetune_shapehd.sh, /root/reference/README.md:136-156) on the
+procedural analytic dataset and reports held-out solid-voxel IoU and
+Chamfer distance against an untrained baseline:
+
+  stage A  marrnet2 (--canon_sup): GT 2.5D sketches -> 128^3 voxels
+           (/root/reference/models/marrnet2.py)
+  stage B  wgangp: 3D-WGAN-GP shape prior on canonical voxels
+           (/root/reference/models/wgangp.py)
+  stage C  shapehd: finetune the stage-A net with the frozen stage-B
+           critic as a perceptual loss (/root/reference/models/shapehd.py
+           :67-79), reference default w_gan_loss
+           (scripts/finetune_shapehd.sh:40)
+
+Unlike the GenRe qualrun (surface-shell IoU, the training target of
+genre_full_model.py:93-95), MarrNet-2/ShapeHD are supervised on SOLID
+occupancy grids (marrnet2.py:81-85), so IoU here is against the solid GT.
+
+Usage (full-scale, on the TPU chip):
+  python tools/qualrun_shapehd.py --logdir /tmp/qualshd --out QUALRUN_SHAPEHD_r04.md
+Smoke (CPU, tiny):
+  python tools/qualrun_shapehd.py --tiny --cpu --steps_m2 40 --steps_gan 20 \
+      --steps_shd 20 --train_n 32 --logdir /tmp/qshd
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+THRESHOLDS = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7)
+
+
+def build(net, opt):
+    import jax
+    from genre_shapehd_tpu.core.registry import get_dataset, get_model
+    from genre_shapehd_tpu.data.loader import DataLoader
+    from genre_shapehd_tpu.train.loggers import ComposeLogger, ProgbarLogger
+    from genre_shapehd_tpu.train.loop import Trainer
+
+    model = get_model(net)(opt)
+    ds_train = get_dataset("procedural")(opt, "train", model=model)
+    ds_vali = get_dataset("procedural")(opt, "vali", model=model)
+    # warm the (process-wide, stage-shared) raw-sample cache up front so
+    # loader threads never race heavy numpy generation against device steps
+    t0 = time.time()
+    for ds in (ds_train, ds_vali):
+        for i in range(len(ds)):
+            ds._raw(i)
+    print(f"[qualshd] cache warm ({len(ds_train)}+{len(ds_vali)} scenes) "
+          f"in {time.time() - t0:.0f}s", flush=True)
+    tl = DataLoader(ds_train, opt.batch_size, num_workers=opt.workers,
+                    seed=0)
+    vl = DataLoader(ds_vali, opt.batch_size, num_workers=opt.workers,
+                    shuffle=False, drop_last=False)
+    trainer = Trainer(model, opt, ComposeLogger([ProgbarLogger()]))
+    trainer.initialize(jax.random.PRNGKey(0))
+    return model, trainer, tl, vl
+
+
+def eval_quality(model, trainer, vl, voxel_key, max_batches=None, tag=""):
+    """Held-out solid-voxel IoU (pred>th vs GT occupancy) and Chamfer
+    distance (tools/eval_chamfer.py protocol)."""
+    import jax
+    from tools.eval_chamfer import chamfer_between_voxels
+
+    inter = {t: 0.0 for t in THRESHOLDS}
+    union = {t: 0.0 for t in THRESHOLDS}
+    chamfers = []
+    n_items = 0
+    examples = []
+    for bi, batch in enumerate(vl):
+        if max_batches and bi >= max_batches:
+            break
+        dev_batch, rest = trainer._device_batch(batch)
+        metrics, pred = trainer._eval_step(trainer.state, dev_batch,
+                                           jax.random.PRNGKey(9))
+        jax.block_until_ready((metrics, pred))
+        if isinstance(pred, dict):          # shapehd returns a dict
+            pred = pred.get("pred_voxel", pred.get("voxel"))
+        true_n = rest["_true_size"]
+        logits = np.asarray(pred)[:true_n].astype(np.float32)
+        gt_solid = np.asarray(batch[voxel_key])[:true_n] > 0.5
+        prob = 1.0 / (1.0 + np.exp(-logits))
+        for i in range(true_n):
+            for t in THRESHOLDS:
+                p = prob[i] > t
+                inter[t] += float((p & gt_solid[i]).sum())
+                union[t] += float((p | gt_solid[i]).sum())
+            if n_items < 16:
+                chamfers.append(chamfer_between_voxels(
+                    logits[i], gt_solid[i].astype(np.float32), th=0.25,
+                    use_sigmoid=True, n_points=1024, seed=i))
+            if len(examples) < 4:
+                examples.append((logits[i], gt_solid[i]))
+            n_items += 1
+    iou = {t: inter[t] / max(union[t], 1.0) for t in THRESHOLDS}
+    res = {
+        "n_items": n_items,
+        "iou_0.5": iou[0.5],
+        "iou_best": max(iou.values()),
+        "iou_best_th": max(iou, key=iou.get),
+        "iou_by_th": iou,
+        "chamfer_mean": float(np.mean(chamfers)) if chamfers else None,
+        "chamfer_n": len(chamfers),
+    }
+    print(f"[qualshd] {tag}: "
+          f"{json.dumps({k: v for k, v in res.items() if k != 'iou_by_th'})}")
+    return res, examples
+
+
+def dump_examples(examples, outdir, tag):
+    os.makedirs(outdir, exist_ok=True)
+    for i, (logits, gt_solid) in enumerate(examples):
+        np.savez_compressed(
+            os.path.join(outdir, f"{tag}_{i}.npz"),
+            pred_logits=logits.astype(np.float16),
+            gt_solid=gt_solid.astype(np.uint8))
+        try:
+            from genre_shapehd_tpu.viz.mcubes import marching_cubes
+            from genre_shapehd_tpu.viz.visualizer import write_obj
+            prob = 1.0 / (1.0 + np.exp(-logits.astype(np.float32)))
+            for name, vol, th in ((f"{tag}_{i}_pred", prob, 0.25),
+                                  (f"{tag}_{i}_gt",
+                                   gt_solid.astype(np.float32), 0.5)):
+                verts, faces = marching_cubes(vol, th)
+                if len(faces):
+                    write_obj(os.path.join(outdir, name + ".obj"),
+                              verts, faces)
+        except Exception as e:              # viz is best-effort
+            print(f"[qualshd] obj dump skipped: {e}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps_m2", type=int, default=3000,
+                    help="marrnet2 pretrain steps (stage A)")
+    ap.add_argument("--steps_gan", type=int, default=3000,
+                    help="wgangp prior steps (stage B)")
+    ap.add_argument("--steps_shd", type=int, default=1000,
+                    help="shapehd finetune steps (stage C)")
+    ap.add_argument("--lr", type=float, default=1e-3,
+                    help="stage-A lr (train_marrnet2.sh)")
+    ap.add_argument("--lr_gan", type=float, default=1e-4,
+                    help="stage-B lr (train_wgangp.sh)")
+    ap.add_argument("--lr_shd", type=float, default=1e-4,
+                    help="stage-C lr (finetune_shapehd.sh)")
+    ap.add_argument("--w_gan_loss", type=float, default=1e-3,
+                    help="critic loss weight (finetune_shapehd.sh:40)")
+    ap.add_argument("--gan_d_iter", type=int, default=1)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--train_n", type=int, default=512,
+                    help="unique procedural training scenes")
+    ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--logdir", default="/tmp/qualshd")
+    ap.add_argument("--out", default=None, help="markdown report path")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny resolutions for CPU smoke testing")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the 8-device virtual CPU platform")
+    ap.add_argument("--eval_batches", type=int, default=None)
+    ap.add_argument("--skip_m2", action="store_true",
+                    help="reuse <logdir>/marrnet2.pt")
+    ap.add_argument("--skip_gan", action="store_true",
+                    help="reuse <logdir>/wgangp.pt")
+    args = ap.parse_args()
+
+    if args.cpu:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from genre_shapehd_tpu.models.base import default_opt
+
+    dims = dict(im_size=64, vox_res=32, sph_res=32, z_res=64,
+                padding_margin=16) if args.tiny else \
+        dict(im_size=256, vox_res=128, sph_res=128, z_res=256,
+             padding_margin=16)
+    common = dict(batch_size=args.batch, procedural_length=args.train_n,
+                  workers=args.workers, dtype="bfloat16", log_every=8,
+                  **dims)
+    os.makedirs(args.logdir, exist_ok=True)
+    report = {"config": {**common, "steps_m2": args.steps_m2,
+                         "steps_gan": args.steps_gan,
+                         "steps_shd": args.steps_shd, "lr": args.lr,
+                         "lr_gan": args.lr_gan, "lr_shd": args.lr_shd,
+                         "w_gan_loss": args.w_gan_loss,
+                         "gan_d_iter": args.gan_d_iter}}
+
+    import jax
+    from genre_shapehd_tpu.core.cache import enable_compile_cache
+    enable_compile_cache()
+    report["backend"] = jax.default_backend()
+
+    # --------------------------- stage A: marrnet2 (train_marrnet2.sh)
+    ckpt_m2 = os.path.join(args.logdir, "marrnet2.pt")
+    opt_a = default_opt(**common, lr=args.lr, canon_sup=True)
+    model_a, trainer_a, tl_a, vl_a = build("marrnet2", opt_a)
+    base_res, base_ex = eval_quality(model_a, trainer_a, vl_a,
+                                     model_a.voxel_key,
+                                     max_batches=args.eval_batches,
+                                     tag="untrained")
+    report["untrained"] = base_res
+    if args.skip_m2 and os.path.exists(ckpt_m2):
+        trainer_a.load(ckpt_m2)
+        trainer_a.start_epoch = 0
+        report["stageA"] = {"reused": ckpt_m2}
+        print(f"[qualshd] stageA reused: {ckpt_m2}")
+    else:
+        t0 = time.time()
+        spe = min(100, args.steps_m2)
+        log_a = trainer_a.fit(tl_a, vl_a,
+                              epochs=max(args.steps_m2 // spe, 1),
+                              steps_per_epoch=spe, eval_batches=2,
+                              rng=jax.random.PRNGKey(3))
+        trainer_a.save(ckpt_m2, epoch=args.steps_m2)
+        report["stageA"] = {
+            "final_log": {k: float(v) for k, v in log_a.items()},
+            "seconds": round(time.time() - t0, 1)}
+        print(f"[qualshd] stageA done in {report['stageA']['seconds']}s: "
+              f"{log_a}")
+    m2_res, m2_ex = eval_quality(model_a, trainer_a, vl_a,
+                                 model_a.voxel_key,
+                                 max_batches=args.eval_batches,
+                                 tag="marrnet2")
+    report["marrnet2"] = m2_res
+
+    # ----------------------------- stage B: wgangp (train_wgangp.sh)
+    ckpt_gan = os.path.join(args.logdir, "wgangp.pt")
+    if args.skip_gan and os.path.exists(ckpt_gan):
+        report["stageB"] = {"reused": ckpt_gan}
+        print(f"[qualshd] stageB reused: {ckpt_gan}")
+    else:
+        t0 = time.time()
+        opt_b = default_opt(**common, lr=args.lr_gan, canon_voxel=True,
+                            gan_d_iter=args.gan_d_iter)
+        model_b, trainer_b, tl_b, vl_b = build("wgangp", opt_b)
+        spe = min(100, args.steps_gan)
+        log_b = trainer_b.fit(tl_b, vl_b,
+                              epochs=max(args.steps_gan // spe, 1),
+                              steps_per_epoch=spe, eval_batches=2,
+                              rng=jax.random.PRNGKey(4))
+        trainer_b.save(ckpt_gan, epoch=args.steps_gan)
+        report["stageB"] = {
+            "final_log": {k: float(v) for k, v in log_b.items()},
+            "seconds": round(time.time() - t0, 1)}
+        print(f"[qualshd] stageB done in {report['stageB']['seconds']}s: "
+              f"{log_b}")
+
+    # ------------------------ stage C: shapehd (finetune_shapehd.sh)
+    t0 = time.time()
+    opt_c = default_opt(**common, lr=args.lr_shd, canon_sup=True,
+                        marrnet2=ckpt_m2, gan=ckpt_gan,
+                        w_gan_loss=args.w_gan_loss)
+    model_c, trainer_c, tl_c, vl_c = build("shapehd", opt_c)
+    spe = min(100, args.steps_shd)
+    log_c = trainer_c.fit(tl_c, vl_c, epochs=max(args.steps_shd // spe, 1),
+                          steps_per_epoch=spe, eval_batches=2,
+                          rng=jax.random.PRNGKey(5))
+    trainer_c.save(os.path.join(args.logdir, "shapehd.pt"),
+                   epoch=args.steps_shd)
+    report["stageC"] = {
+        "final_log": {k: float(v) for k, v in log_c.items()},
+        "seconds": round(time.time() - t0, 1)}
+    print(f"[qualshd] stageC done in {report['stageC']['seconds']}s: "
+          f"{log_c}")
+    shd_res, shd_ex = eval_quality(model_c, trainer_c, vl_c,
+                                   model_c.voxel_key,
+                                   max_batches=args.eval_batches,
+                                   tag="shapehd")
+    report["shapehd"] = shd_res
+
+    dump_examples(shd_ex, os.path.join(args.logdir, "examples"), "shapehd")
+    dump_examples(m2_ex[:2], os.path.join(args.logdir, "examples"),
+                  "marrnet2")
+    dump_examples(base_ex[:1], os.path.join(args.logdir, "examples"),
+                  "untrained")
+
+    with open(os.path.join(args.logdir, "qualrun_shapehd.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    if args.out:
+        write_markdown(args.out, report)
+    print("[qualshd] report:", json.dumps(
+        {k: report[k] for k in ("untrained", "marrnet2", "shapehd")},
+        indent=2))
+
+
+def write_markdown(path, report):
+    u, m, s = report["untrained"], report["marrnet2"], report["shapehd"]
+    cfg = report["config"]
+    lines = [
+        "# QUALRUN — MarrNet-2 / ShapeHD reconstruction quality on the "
+        "procedural benchmark",
+        "",
+        "The reference's second training workflow (train_marrnet2.sh -> "
+        "train_wgangp.sh -> finetune_shapehd.sh, /root/reference/README.md"
+        ":136-156) on analytic scenes "
+        "(`genre_shapehd_tpu/data/procedural.py`), complementing the GenRe "
+        "qualruns: MarrNet-2 maps GT 2.5D sketches to 128^3 voxels "
+        "(marrnet2.py), a 3D-WGAN-GP learns the canonical shape prior "
+        "(wgangp.py), and ShapeHD finetunes MarrNet-2 with the frozen "
+        "critic as a perceptual loss (shapehd.py:67-79).",
+        "",
+        f"- backend: `{report['backend']}`, dtype bfloat16, "
+        f"batch {cfg['batch_size']}",
+        f"- resolutions: voxel {cfg['vox_res']}^3, image {cfg['im_size']}^2",
+        f"- stage A (marrnet2): {cfg['steps_m2']} steps @ lr {cfg['lr']}, "
+        + (f"{report['stageA']['seconds']}s, final "
+           f"{json.dumps(report['stageA']['final_log'])}"
+           if "seconds" in report["stageA"]
+           else f"reused {report['stageA']['reused']}"),
+        f"- stage B (wgangp): {cfg['steps_gan']} steps @ lr "
+        f"{cfg['lr_gan']}, "
+        + (f"{report['stageB']['seconds']}s, final "
+           f"{json.dumps(report['stageB']['final_log'])}"
+           if "seconds" in report["stageB"]
+           else f"reused {report['stageB']['reused']}"),
+        f"- stage C (shapehd): {cfg['steps_shd']} steps @ lr "
+        f"{cfg['lr_shd']}, w_gan_loss {cfg['w_gan_loss']}, "
+        f"{report['stageC']['seconds']}s, final "
+        f"{json.dumps(report['stageC']['final_log'])}",
+        f"- held-out scenes: {s['n_items']} (disjoint seed range from "
+        f"{cfg['procedural_length']} train scenes)",
+        "",
+        "## Results (held-out, solid-voxel IoU)",
+        "",
+        "| metric | untrained | marrnet2 | shapehd |",
+        "|---|---|---|---|",
+        f"| IoU @0.5 | {u['iou_0.5']:.4f} | {m['iou_0.5']:.4f} | "
+        f"{s['iou_0.5']:.4f} |",
+        f"| IoU @best th | {u['iou_best']:.4f} (th {u['iou_best_th']}) | "
+        f"{m['iou_best']:.4f} (th {m['iou_best_th']}) | "
+        f"{s['iou_best']:.4f} (th {s['iou_best_th']}) |",
+        f"| Chamfer distance (mean of {s['chamfer_n']}) | "
+        f"{u['chamfer_mean']:.4f} | {m['chamfer_mean']:.4f} | "
+        f"{s['chamfer_mean']:.4f} |",
+        "",
+        "IoU is against the SOLID GT occupancy grid (the MarrNet-2/ShapeHD "
+        "supervision target, marrnet2.py:81-85), unlike the GenRe qualruns' "
+        "surface-shell IoU — the two families' numbers are not directly "
+        "comparable.  Chamfer follows the in-repo protocol "
+        "(tools/eval_chamfer.py): marching-cubes surfaces, 1024 "
+        "area-weighted samples, bidirectional `nndistance_score`.",
+        "",
+        "Artifacts: `qualrun_shapehd.json`, `examples/*.npz`, "
+        "`examples/*.obj` in the run logdir.",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()
