@@ -107,6 +107,11 @@ class Model(Marrnet2Model):
         pred["is_real"] = self.net_d.apply(
             {"params": d_params},
             jax.nn.sigmoid(vox.astype(jnp.float32)))
+        # realism of the frozen net's output, for finetune diagnostics; the
+        # training loss never reads it, so XLA prunes it from the train step
+        pred["is_real_noft"] = self.net_d.apply(
+            {"params": d_params},
+            jax.nn.sigmoid(pred["voxel_noft"].astype(jnp.float32)))
         return pred, new_stats
 
     def compute_loss(self, pred, batch) -> Tuple[jnp.ndarray, Dict]:

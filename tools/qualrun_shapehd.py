@@ -76,6 +76,7 @@ def eval_quality(model, trainer, vl, voxel_key, max_batches=None, tag=""):
     inter = {t: 0.0 for t in THRESHOLDS}
     union = {t: 0.0 for t in THRESHOLDS}
     chamfers = []
+    realism, realism_noft = [], []
     n_items = 0
     examples = []
     for bi, batch in enumerate(vl):
@@ -85,7 +86,15 @@ def eval_quality(model, trainer, vl, voxel_key, max_batches=None, tag=""):
         metrics, pred = trainer._eval_step(trainer.state, dev_batch,
                                            jax.random.PRNGKey(9))
         jax.block_until_ready((metrics, pred))
+        true_n_r = rest["_true_size"]
         if isinstance(pred, dict):          # shapehd returns a dict
+            # critic scores = the finetune's realism objective
+            if "is_real" in pred:
+                realism += list(np.asarray(
+                    pred["is_real"], np.float32).reshape(-1)[:true_n_r])
+            if "is_real_noft" in pred:
+                realism_noft += list(np.asarray(
+                    pred["is_real_noft"], np.float32).reshape(-1)[:true_n_r])
             pred = pred.get("pred_voxel", pred.get("voxel"))
         true_n = rest["_true_size"]
         logits = np.asarray(pred)[:true_n].astype(np.float32)
@@ -113,9 +122,47 @@ def eval_quality(model, trainer, vl, voxel_key, max_batches=None, tag=""):
         "chamfer_mean": float(np.mean(chamfers)) if chamfers else None,
         "chamfer_n": len(chamfers),
     }
+    if realism:
+        res["critic_score"] = float(np.mean(realism))
+    if realism_noft:
+        res["critic_score_noft"] = float(np.mean(realism_noft))
     print(f"[qualshd] {tag}: "
           f"{json.dumps({k: v for k, v in res.items() if k != 'iou_by_th'})}")
     return res, examples
+
+
+def probe_grad_split(model, trainer, loader):
+    """L2 norms of the supervised vs GAN gradients w.r.t. the finetuned
+    net at stage-C start — quantifies how strongly the critic term steers
+    the Adam update direction relative to the BCE anchor."""
+    import jax
+    import jax.numpy as jnp
+
+    batch = next(iter(loader))
+    dev_batch, _ = trainer._device_batch(batch)
+    state = trainer.state
+
+    def part(net_params, which):
+        params = dict(state.params)
+        params["net"] = net_params
+        pred, _ = model._forward_all(params, state.batch_stats,
+                                     dev_batch, True)
+        sup = model.bce_with_logits(pred["voxel"].astype(jnp.float32),
+                                    dev_batch[model.voxel_key])
+        gan = -jnp.mean(pred["is_real"]) * model.w_gan_loss
+        return sup if which == "sup" else gan
+
+    def norm(tree):
+        return float(jnp.sqrt(sum(
+            jnp.vdot(x, x).real for x in jax.tree.leaves(tree))))
+
+    out = {}
+    for which in ("sup", "gan"):
+        g = jax.grad(lambda p: part(p, which))(state.params["net"])
+        out[f"grad_norm_{which}"] = norm(g)
+    out["gan_over_sup"] = out["grad_norm_gan"] / max(out["grad_norm_sup"],
+                                                     1e-30)
+    return out
 
 
 def dump_examples(examples, outdir, tag):
@@ -154,8 +201,9 @@ def main():
                     help="stage-B lr (train_wgangp.sh)")
     ap.add_argument("--lr_shd", type=float, default=1e-4,
                     help="stage-C lr (finetune_shapehd.sh)")
-    ap.add_argument("--w_gan_loss", type=float, default=1e-3,
-                    help="critic loss weight (finetune_shapehd.sh:40)")
+    ap.add_argument("--w_gan_loss", type=str, default="1e-3",
+                    help="critic loss weight (finetune_shapehd.sh:40); a "
+                         "comma list sweeps stage C, first value is primary")
     ap.add_argument("--gan_d_iter", type=int, default=1)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--train_n", type=int, default=512,
@@ -260,28 +308,42 @@ def main():
         print(f"[qualshd] stageB done in {report['stageB']['seconds']}s: "
               f"{log_b}")
 
+    json_path = os.path.join(args.logdir, "qualrun_shapehd.json")
+    with open(json_path, "w") as f:                # incremental: A+B done
+        json.dump(report, f, indent=2)
+
     # ------------------------ stage C: shapehd (finetune_shapehd.sh)
-    t0 = time.time()
-    opt_c = default_opt(**common, lr=args.lr_shd, canon_sup=True,
-                        marrnet2=ckpt_m2, gan=ckpt_gan,
-                        w_gan_loss=args.w_gan_loss)
-    model_c, trainer_c, tl_c, vl_c = build("shapehd", opt_c)
-    spe = min(100, args.steps_shd)
-    log_c = trainer_c.fit(tl_c, vl_c, epochs=max(args.steps_shd // spe, 1),
-                          steps_per_epoch=spe, eval_batches=2,
-                          rng=jax.random.PRNGKey(5))
-    trainer_c.save(os.path.join(args.logdir, "shapehd.pt"),
-                   epoch=args.steps_shd)
-    report["stageC"] = {
-        "final_log": {k: float(v) for k, v in log_c.items()},
-        "seconds": round(time.time() - t0, 1)}
-    print(f"[qualshd] stageC done in {report['stageC']['seconds']}s: "
-          f"{log_c}")
-    shd_res, shd_ex = eval_quality(model_c, trainer_c, vl_c,
-                                   model_c.voxel_key,
-                                   max_batches=args.eval_batches,
-                                   tag="shapehd")
-    report["shapehd"] = shd_res
+    # comma list sweeps the critic weight; first value is the primary run
+    ws = [float(w) for w in str(args.w_gan_loss).split(",")]
+    shd_ex = None
+    for wi, w in enumerate(ws):
+        t0 = time.time()
+        opt_c = default_opt(**common, lr=args.lr_shd, canon_sup=True,
+                            marrnet2=ckpt_m2, gan=ckpt_gan, w_gan_loss=w)
+        model_c, trainer_c, tl_c, vl_c = build("shapehd", opt_c)
+        probe = probe_grad_split(model_c, trainer_c, tl_c)
+        print(f"[qualshd] stageC w={w:g} grad split: {json.dumps(probe)}",
+              flush=True)
+        spe = min(100, args.steps_shd)
+        log_c = trainer_c.fit(tl_c, vl_c,
+                              epochs=max(args.steps_shd // spe, 1),
+                              steps_per_epoch=spe, eval_batches=2,
+                              rng=jax.random.PRNGKey(5))
+        trainer_c.save(os.path.join(args.logdir, f"shapehd_w{w:g}.pt"),
+                       epoch=args.steps_shd)
+        stage = {"w_gan_loss": w, "grad_split": probe,
+                 "final_log": {k: float(v) for k, v in log_c.items()},
+                 "seconds": round(time.time() - t0, 1)}
+        print(f"[qualshd] stageC w={w:g} done in {stage['seconds']}s: "
+              f"{log_c}")
+        res, ex = eval_quality(model_c, trainer_c, vl_c, model_c.voxel_key,
+                               max_batches=args.eval_batches,
+                               tag=f"shapehd_w{w:g}")
+        if wi == 0:
+            report["stageC"], report["shapehd"], shd_ex = stage, res, ex
+        report.setdefault("shapehd_sweep", []).append({**stage, **res})
+        with open(json_path, "w") as f:            # incremental per variant
+            json.dump(report, f, indent=2)
 
     dump_examples(shd_ex, os.path.join(args.logdir, "examples"), "shapehd")
     dump_examples(m2_ex[:2], os.path.join(args.logdir, "examples"),
@@ -289,7 +351,7 @@ def main():
     dump_examples(base_ex[:1], os.path.join(args.logdir, "examples"),
                   "untrained")
 
-    with open(os.path.join(args.logdir, "qualrun_shapehd.json"), "w") as f:
+    with open(json_path, "w") as f:
         json.dump(report, f, indent=2)
     if args.out:
         write_markdown(args.out, report)
@@ -347,6 +409,31 @@ def write_markdown(path, report):
         f"| Chamfer distance (mean of {s['chamfer_n']}) | "
         f"{u['chamfer_mean']:.4f} | {m['chamfer_mean']:.4f} | "
         f"{s['chamfer_mean']:.4f} |",
+    ]
+    if "critic_score" in s:
+        lines.append(
+            f"| critic score (realism, higher=better) | — | "
+            f"{s['critic_score_noft']:.1f} (frozen stage-A net) | "
+            f"{s['critic_score']:.1f} |")
+    sweep = report.get("shapehd_sweep", [])
+    if len(sweep) > 1:
+        lines += [
+            "",
+            "### Stage-C critic-weight sweep",
+            "",
+            "| w_gan_loss | grad-norm gan/sup at start | IoU @0.5 | "
+            "IoU @best th | Chamfer | critic score (vs frozen "
+            f"{sweep[0].get('critic_score_noft', float('nan')):.1f}) |",
+            "|---|---|---|---|---|---|",
+        ]
+        for sw in sweep:
+            lines.append(
+                f"| {sw['w_gan_loss']:g} | "
+                f"{sw['grad_split']['gan_over_sup']:.2f} | "
+                f"{sw['iou_0.5']:.4f} | {sw['iou_best']:.4f} "
+                f"(th {sw['iou_best_th']}) | {sw['chamfer_mean']:.4f} | "
+                f"{sw.get('critic_score', float('nan')):.1f} |")
+    lines += [
         "",
         "IoU is against the SOLID GT occupancy grid (the MarrNet-2/ShapeHD "
         "supervision target, marrnet2.py:81-85), unlike the GenRe qualruns' "
