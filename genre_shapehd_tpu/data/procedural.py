@@ -27,6 +27,7 @@ Frame conventions (must match ops/camera_bp.py + ops/render_sph.py):
 
 from __future__ import annotations
 
+import os
 import threading
 from typing import Dict, List, Tuple
 
@@ -293,6 +294,11 @@ class Dataset:
 
     _cache: Dict[Tuple, Dict] = {}
     _lock = threading.Lock()
+    #: optional on-disk cache shared ACROSS processes (scenes are
+    #: deterministic per (mode, seed, dims), so every driver/qualrun run
+    #: with the same dims reuses them); set to "" to disable
+    disk_cache_dir = os.environ.get("GENRE_PROCEDURAL_CACHE",
+                                    "/tmp/genre_procedural_cache")
 
     def __init__(self, opt, mode: str = "train", model=None):
         self.mode = mode
@@ -321,12 +327,34 @@ class Dataset:
         with self._lock:
             packed = self._cache.get(key)
         if packed is None:
+            disk_path = None
+            if self.disk_cache_dir:
+                disk_path = os.path.join(
+                    self.disk_cache_dir,
+                    "s{}_i{}_v{}_r{}_p{}_{}.npz".format(
+                        self._seed(i), self.im_size, self.vox_res,
+                        self.sph_res, self.max_prims, self.mode))
+                if os.path.exists(disk_path):
+                    try:
+                        with np.load(disk_path) as z:
+                            packed = {k: z[k] for k in z.files}
+                    except Exception:        # partial write: regenerate
+                        packed = None
+        if packed is None:
             raw = generate_sample(self._seed(i), self.im_size, self.vox_res,
                                   self.sph_res, self.max_prims)
             packed = {k: (np.packbits(v) if k == "voxel"
                           else v.astype(np.float16)) for k, v in raw.items()}
-            with self._lock:
-                self._cache[key] = packed
+            if self.disk_cache_dir:
+                try:
+                    os.makedirs(self.disk_cache_dir, exist_ok=True)
+                    tmp = f"{disk_path}.{os.getpid()}.tmp.npz"
+                    np.savez(tmp, **packed)
+                    os.replace(tmp, disk_path)  # atomic vs concurrent runs
+                except Exception:
+                    pass                     # disk cache is best-effort
+        with self._lock:
+            self._cache[key] = packed
         v = self.vox_res
         out = {}
         for k, val in packed.items():

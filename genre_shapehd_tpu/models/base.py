@@ -46,12 +46,14 @@ def default_opt(**overrides) -> SimpleNamespace:
         # model flags (reference add_arguments defaults)
         pred_depth_minmax=False, canon_sup=False, joint_train=False,
         load_offline=False, net1_path=None, inpaint_path=None,
-        surface_weight=1.0, joint_w25d=1.0, canon_voxel=False,
+        surface_weight=1.0, joint_w25d=0.01, canon_voxel=False,
         wgangp_lambda=10.0,
         wgangp_norm=1.0, gan_d_iter=1, marrnet1=None, marrnet2=None,
         gan=None, w_gan_loss=0.0, marrnet1_file=None, net_file=None,
         output_dir=None, backbone_init=None, sp=1, exact_render=False,
         gt_depth_input=False, procedural_length=512, procedural_max_prims=4,
+        augment=True, no_aug=False, f32_heads=False, decoder_width=1.0,
+        gt_sph_full=False,
     )
     base.update(overrides)
     return SimpleNamespace(**base)
@@ -86,6 +88,10 @@ class ModelBase:
         # marrnetbase.py:12; we keep that default but let opt shrink it for
         # tiny-mesh staging and tests)
         self.im_size = getattr(opt, "im_size", type(self).im_size)
+        # train-time photometric augmentation (marrnetbase.py:76-83) can be
+        # ablated off (--no_aug)
+        self.augment = bool(getattr(opt, "augment", True)) \
+            and not getattr(opt, "no_aug", False)
         if opt.log_time:
             self.metrics = list(self.metrics) + ["batch_time", "data_time"]
 
@@ -116,7 +122,7 @@ class ModelBase:
         for key, val in data.items():
             if key == "rgb":
                 im = pp.resize(val, im_size, "horizontal")
-                if mode == "train":
+                if mode == "train" and getattr(self, "augment", True):
                     im = pp.jitter_colors(im, self.rgb_jitter_d,
                                           self.rgb_jitter_d,
                                           self.rgb_jitter_d, rng=rng)

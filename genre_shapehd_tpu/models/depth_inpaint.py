@@ -50,12 +50,18 @@ class DepthInpaintNet(fnn.Module):
     #: data-side analog of the reference's --load_offline precomputed
     #: spherical inputs, depth_pred_with_sph_inpaint.py:121-123)
     gt_depth_input: bool = False
+    #: net1 ablation knobs (must match the loaded net1 checkpoint)
+    net1_width: float = 1.0
+    net1_head_dtype: jnp.dtype = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.net1 = UResNet(out_planes=(3, 1, 1),
                             layer_names=("normal", "depth", "silhou"),
-                            pred_depth_minmax=True, dtype=self.dtype)
+                            pred_depth_minmax=True,
+                            decoder_width=self.net1_width,
+                            head_dtype=self.net1_head_dtype,
+                            dtype=self.dtype)
         self.net2 = UResNet(out_planes=(1,), layer_names=("spherical",),
                             inpainting=True, dtype=self.dtype)
 
@@ -123,6 +129,15 @@ class Model(DepthModel):
         parser.add_argument("--gt_depth_input", action="store_true",
                             help="oracle mode: feed GT depth/minmax into "
                                  "the geometry chain (quality benchmark)")
+        parser.add_argument("--f32_heads", action="store_true",
+                            help="net1 decoders/heads in float32 over the "
+                                 "bf16 encoder (must match the net1 ckpt)")
+        parser.add_argument("--decoder_width", type=float, default=1.0,
+                            help="net1 decoder channel multiplier (must "
+                                 "match the net1 ckpt)")
+        parser.add_argument("--no_aug", action="store_true",
+                            help="disable train-time photometric "
+                                 "augmentation")
         return parser, {"joint_train"}
 
     def __init__(self, opt):
@@ -153,6 +168,9 @@ class Model(DepthModel):
             load_offline=bool(getattr(opt, "load_offline", False)),
             exact_render=bool(getattr(opt, "exact_render", False)),
             gt_depth_input=self.gt_depth_input,
+            net1_width=float(getattr(opt, "decoder_width", 1.0)),
+            net1_head_dtype=(jnp.float32
+                             if getattr(opt, "f32_heads", False) else None),
             dtype=self.dtype)
         self.tx = self.adam()
 
@@ -197,6 +215,8 @@ class Model(DepthModel):
         if self.net.gt_depth_input:
             kwargs["gt_depth"] = batch.get("depth")
             kwargs["gt_minmax"] = batch.get("depth_minmax")
+        if getattr(self.net, "gt_sph_full", False):
+            kwargs["gt_sph"] = batch.get("spherical_object")
         if train:
             pred, mut = self.net.apply(
                 variables, batch["rgb"], batch["silhou"], train=True,

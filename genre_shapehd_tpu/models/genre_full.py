@@ -40,6 +40,13 @@ class GenreNet(fnn.Module):
     load_offline: bool = False
     exact_render: bool = False
     gt_depth_input: bool = False
+    #: oracle-ceiling decomposition mode: bypass the inpainting net and
+    #: backproject the GT full spherical map directly, isolating
+    #: spherical-bp + refine (the last two stages of
+    #: genre_full_model.py:134-143)
+    gt_sph_full: bool = False
+    net1_width: float = 1.0
+    net1_head_dtype: jnp.dtype = None
     refine_nf: int = 20
     dtype: jnp.dtype = jnp.float32
 
@@ -49,7 +56,9 @@ class GenreNet(fnn.Module):
             z_res=self.z_res, padding_margin=self.padding_margin,
             joint_train=self.joint_train, load_offline=self.load_offline,
             exact_render=self.exact_render,
-            gt_depth_input=self.gt_depth_input, dtype=self.dtype)
+            gt_depth_input=self.gt_depth_input,
+            net1_width=self.net1_width,
+            net1_head_dtype=self.net1_head_dtype, dtype=self.dtype)
         self.refine_net = UNet3D(nf=self.refine_nf, res=self.vox_res,
                                  dtype=self.dtype)
 
@@ -61,12 +70,17 @@ class GenreNet(fnn.Module):
             self.vox_res)
 
     def __call__(self, rgb, silhou, train: bool, spherical_depth=None,
-                 gt_depth=None, gt_minmax=None):
+                 gt_depth=None, gt_minmax=None, gt_sph=None):
         out1 = self.depth_and_inpaint(rgb, silhou, train=train,
                                       spherical_depth=spherical_depth,
                                       gt_depth=gt_depth, gt_minmax=gt_minmax)
         if not self.joint_train:
             out1 = jax.tree.map(jax.lax.stop_gradient, out1)
+        if self.gt_sph_full and gt_sph is not None:
+            # decomposition oracle: the refine net consumes the GT full
+            # spherical map (already padded by preprocess), not net2's
+            out1 = dict(out1)
+            out1["pred_sph_full"] = jax.lax.stop_gradient(gt_sph)
         proj_depth = out1["proj_depth"]
         pred_proj_sph = self.backproject_spherical(out1["pred_sph_full"])
         proj_depth = jnp.clip(proj_depth / 50.0, 1e-5, 1.0 - 1e-5)
@@ -88,18 +102,23 @@ class Model(DepthInpaintModel):
         parser, unique = DepthInpaintModel.add_arguments(parser)
         parser.add_argument("--inpaint_path", default=None, type=str,
                             help="pretrained inpainting module checkpoint")
+        parser.add_argument("--gt_sph_full", action="store_true",
+                            help="oracle-ceiling decomposition: bypass the "
+                                 "inpainting net, backproject the GT full "
+                                 "spherical map (isolates sph-bp + refine)")
         parser.add_argument("--surface_weight", default=1.0, type=float,
                             help="weight for voxel surface prediction")
-        parser.add_argument("--joint_w25d", default=1.0, type=float,
+        parser.add_argument("--joint_w25d", default=0.01, type=float,
                             help="weight on the 2.5D+spherical supervision "
                                  "under --joint_train (the per-component "
                                  "metrics stay unscaled; only the summed "
                                  "training loss is weighted). The raw 2.5D "
                                  "losses are scale_25d^2-sized (~300) vs a "
-                                 "~0.05 voxel BCE, so end-to-end fine-tuning "
-                                 "through the differentiable geometry chain "
-                                 "needs this to let voxel gradients reach "
-                                 "net1")
+                                 "~0.05 voxel BCE; the default 0.01 is the "
+                                 "working balance from the committed joint "
+                                 "fine-tune run (QUALRUN_FULL_r04d) that "
+                                 "lets voxel gradients reach net1 "
+                                 "(tests/test_joint_finetune.py)")
         return parser, unique | {"surface_weight", "joint_train",
                                  "inpaint_path", "joint_w25d"}
 
@@ -111,6 +130,10 @@ class Model(DepthInpaintModel):
             self.requires = ["rgb", "silhou", "voxel"]
             if self.gt_depth_input:
                 self.requires = self.requires + ["depth", "depth_minmax"]
+            if getattr(opt, "load_offline", False) \
+                    or getattr(opt, "gt_sph_full", False):
+                # decomposition oracles need the GT spherical maps in-batch
+                self.requires = self.requires + ["spherical"]
         self.gt_names = self.gt_names + ["voxel"]
         self.metrics = self.metrics + ["voxel_loss", "surface_loss"]
         self.surface_weight = float(getattr(opt, "surface_weight", 1.0))
@@ -122,6 +145,10 @@ class Model(DepthInpaintModel):
             load_offline=bool(getattr(opt, "load_offline", False)),
             exact_render=bool(getattr(opt, "exact_render", False)),
             gt_depth_input=self.gt_depth_input,
+            gt_sph_full=bool(getattr(opt, "gt_sph_full", False)),
+            net1_width=float(getattr(opt, "decoder_width", 1.0)),
+            net1_head_dtype=(jnp.float32
+                             if getattr(opt, "f32_heads", False) else None),
             dtype=self.dtype)
         self.tx = self.adam()
 

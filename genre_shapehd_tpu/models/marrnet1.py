@@ -31,6 +31,17 @@ class Model(ModelBase):
         parser.add_argument(
             "--pred_depth_minmax", action="store_true",
             help="Also predicts depth minmax (for GenRe)")
+        parser.add_argument(
+            "--f32_heads", action="store_true",
+            help="run the 2.5D decoders + minmax head in float32 over the "
+                 "bf16 encoder (precision ablation)")
+        parser.add_argument(
+            "--decoder_width", type=float, default=1.0,
+            help="decoder channel multiplier (capacity ablation; 1.0 = "
+                 "reference revuresnet18 widths)")
+        parser.add_argument(
+            "--no_aug", action="store_true",
+            help="disable train-time photometric augmentation")
         return parser, set()
 
     def __init__(self, opt):
@@ -44,6 +55,9 @@ class Model(ModelBase):
             out_planes=(3, 1, 1),
             layer_names=("normal", "depth", "silhou"),
             pred_depth_minmax=self.pred_depth_minmax,
+            decoder_width=float(getattr(opt, "decoder_width", 1.0)),
+            head_dtype=(jnp.float32 if getattr(opt, "f32_heads", False)
+                        else None),
             dtype=self.dtype,
         )
         self.tx = self.adam()

@@ -28,11 +28,15 @@ class URDecoder(nn.Module):
     final_kernel: int = 7           # Net: deconv2 k7 s2 p3 op1
     final_torch_padding: int = 3
     final_output_padding: int = 1
+    #: channel multiplier on the decoder stages (capacity ablation knob;
+    #: 1.0 = reference revuresnet18 widths)
+    width: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats: Tuple[jnp.ndarray, ...], train: bool):
-        planes = (256, 128, 64, 64)
+        planes = tuple(int(round(p * self.width))
+                       for p in (256, 128, 64, 64))
         strides = (2, 2, 2, 1)
         x = feats[-1]
         for i, (width, s) in enumerate(zip(planes, strides)):
@@ -40,7 +44,8 @@ class URDecoder(nn.Module):
             skip = feats[-(i + 2)]
             assert skip.shape[1:3] == x.shape[1:3], (skip.shape, x.shape)
             x = jnp.concatenate([x, skip], axis=-1)
-        x = Deconv(64, 3, 2, 1, 1, use_bias=True, dtype=self.dtype)(x)
+        x = Deconv(int(round(64 * self.width)), 3, 2, 1, 1, use_bias=True,
+                   dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, scale_init=bn_scale_init(),
                          dtype=self.dtype)(x)
@@ -92,21 +97,30 @@ class UResNet(nn.Module):
     layer_names: Sequence[str] = ("normal", "depth", "silhou")
     pred_depth_minmax: bool = False
     inpainting: bool = False
+    #: decoder capacity multiplier (ablation knob; 1.0 = reference widths)
+    decoder_width: float = 1.0
+    #: run the decoders/heads at a different dtype than the encoder (e.g.
+    #: f32 heads over a bf16 encoder, --f32_heads); None = same dtype
+    head_dtype: jnp.dtype = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, im, train: bool) -> Dict[str, jnp.ndarray]:
         feats = ResNet18Features(dtype=self.dtype)(im, train)
+        hd = self.head_dtype if self.head_dtype is not None else self.dtype
+        if hd != self.dtype:
+            feats = tuple(f.astype(hd) for f in feats)
         out: Dict[str, jnp.ndarray] = {}
         for planes, name in zip(self.out_planes, self.layer_names):
             if self.inpainting:
                 head = URDecoder(planes, final_kernel=8,
                                  final_torch_padding=3, final_output_padding=0,
-                                 dtype=self.dtype, name=f"decoder_{name}")
+                                 width=self.decoder_width,
+                                 dtype=hd, name=f"decoder_{name}")
             else:
-                head = URDecoder(planes, dtype=self.dtype,
-                                 name=f"decoder_{name}")
+                head = URDecoder(planes, width=self.decoder_width,
+                                 dtype=hd, name=f"decoder_{name}")
             out[name] = head(feats, train)
         if self.pred_depth_minmax:
-            out["depth_minmax"] = MinmaxHead(dtype=self.dtype)(feats[-1], train)
+            out["depth_minmax"] = MinmaxHead(dtype=hd)(feats[-1], train)
         return out

@@ -87,3 +87,70 @@ def test_tiny_qualrun_init2_joint2_warm_start(tmp_path):
     # the joint loss must carry BOTH supervision families
     log2 = rep["stage2"]["final_log"]
     assert "voxel_loss" in log2 and "depth" in log2, log2
+
+
+def test_default_w25d_lets_voxel_gradients_reach_net1():
+    """At the default --joint_w25d, the voxel-loss gradient into net1 is a
+    sane fraction of the (weighted) 2.5D gradient -- the reason the
+    default moved from 1.0 (where the ~300-scale 2.5D losses drown the
+    ~0.05 voxel BCE) to the working value of the committed joint
+    fine-tune run (QUALRUN_FULL_r04d, scripts/finetune_genre_joint.sh)."""
+    import jax
+    import jax.numpy as jnp
+    from genre_shapehd_tpu.models.base import default_opt
+
+    assert default_opt().joint_w25d == 0.01
+
+    from genre_shapehd_tpu.core.registry import get_dataset, get_model
+    from genre_shapehd_tpu.data.loader import collate
+    n, s, r = 2, 64, 32
+    opt = default_opt(im_size=s, vox_res=r, sph_res=r, z_res=2 * r,
+                      padding_margin=16, joint_train=True,
+                      procedural_length=n)
+    model = get_model("genre_full_model")(opt)
+    # geometrically VALID scenes: with random synthetic inputs the
+    # reference-faithful clip(proj*50, 1e-5, 1-1e-5) saturates and the
+    # voxel gradient into net1 is legitimately zero
+    ds = get_dataset("procedural")(opt, "train", model=model)
+    batch = collate([ds[i] for i in range(n)])
+    batch = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    state = model.init_state(jax.random.PRNGKey(0))
+    # joint fine-tuning always starts from a PRETRAINED net1 (qualrun
+    # --init2 / scripts/finetune_genre_joint.sh --resume).  A freshly
+    # initialized minmax head predicts ~(0, 0), which puts every
+    # backprojected point outside the voxel cube and legitimately zeroes
+    # the voxel->net1 gradient; emulate the trained regime by biasing the
+    # minmax head to the scene's true depth range (camera at CAM_DIST=2.2)
+    import jax.numpy as jnp2
+    mm = state.params["net"]["depth_and_inpaint"]["net1"][
+        "MinmaxHead_0"]["Dense_2"]
+    mm["bias"] = jnp2.asarray(np.asarray(batch["depth_minmax"]).mean(0))
+
+    def loss_part(params, which):
+        pred, _ = model.net.apply(
+            {"params": params, "batch_stats": state.batch_stats["net"]},
+            batch["rgb"], batch["silhou"], train=True,
+            mutable=["batch_stats"])
+        full, parts = model.compute_loss(pred, batch)
+        vox = parts["voxel_loss"] + parts["surface_loss"]
+        return vox if which == "vox" else full - vox   # w25d * 2.5D part
+
+    def net1_norm(which):
+        g = jax.grad(lambda p: loss_part(p, which))(state.params["net"])
+        g1 = g["depth_and_inpaint"]["net1"]
+        return float(jnp.sqrt(sum(jnp.vdot(x, x).real
+                                  for x in jax.tree.leaves(g1))))
+
+    g_vox = net1_norm("vox")
+    g_25d = net1_norm("25d")
+    # the voxel loss reaches net1 through cam_bp -> render -> inpaint ->
+    # sph_bp -> refine (impossible in the reference: its test-time
+    # spherical projection is non-differentiable ray casting) and both
+    # parts are finite; the default w25d=0.01 makes the weighted 2.5D
+    # anchor 100x weaker than at 1.0, i.e. voxel gradients 100x more
+    # influential.  The *trained-regime* vox/25d ratio is measured by the
+    # qualrun --joint2 grad probe (reported in QUALRUN_FULL docs) -- at an
+    # untrained state the ratio is degenerate, so only flow is pinned
+    # here.
+    assert g_vox > 0.0 and np.isfinite(g_vox), g_vox
+    assert g_25d > 0.0 and np.isfinite(g_25d), g_25d

@@ -29,7 +29,8 @@ def test_tiny_shapehd_family_beats_untrained(tmp_path):
         [sys.executable, os.path.join(REPO, "tools", "qualrun_shapehd.py"),
          "--tiny", "--cpu", "--steps_m2", "30", "--steps_gan", "2",
          "--steps_shd", "6", "--batch", "4", "--train_n", "32",
-         "--workers", "2", "--eval_batches", "2", "--logdir", str(tmp_path)],
+         "--workers", "2", "--eval_batches", "2", "--traj_batches", "1",
+         "--w_gan_loss", "auto:0.25", "--logdir", str(tmp_path)],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=3600)
     assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
     with open(tmp_path / "qualrun_shapehd.json") as f:

@@ -108,6 +108,45 @@ def eval_quality(model, trainer, vl, max_batches=None, tag=""):
 THRESHOLDS = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7)
 
 
+def probe_joint_grad_split(model, trainer, loader):
+    """Under --joint2: L2 norms of the voxel-loss vs (weighted) 2.5D-loss
+    gradients into net1 at stage-2 start -- the trained-regime evidence
+    that --joint_w25d balances the two supervision families
+    (tests/test_joint_finetune.py pins the flow; this pins the
+    magnitudes)."""
+    import jax
+    import jax.numpy as jnp
+    from genre_shapehd_tpu.train.loop import decompress_batch
+
+    batch = next(iter(loader))
+    dev_batch, _ = trainer._device_batch(batch)
+    state = trainer.state
+
+    def part(net_params, which):
+        db = decompress_batch(dev_batch)
+        pred, _ = model._forward(net_params, state.batch_stats["net"],
+                                 db, True)
+        full, parts = model.compute_loss(pred, db)
+        vox = parts["voxel_loss"] + parts["surface_loss"]
+        return vox if which == "vox" else full - vox
+
+    @jax.jit
+    def norms(params):
+        out = {}
+        for which in ("vox", "25d"):
+            g = jax.grad(lambda p: part(p, which))(params)
+            g1 = g["depth_and_inpaint"]["net1"]
+            out[which] = jnp.sqrt(sum(
+                jnp.vdot(x, x).real for x in jax.tree.leaves(g1)))
+        return out
+
+    res = jax.device_get(norms(state.params["net"]))
+    out = {f"net1_grad_norm_{k}": float(v) for k, v in res.items()}
+    out["vox_over_25d"] = (out["net1_grad_norm_vox"]
+                           / max(out["net1_grad_norm_25d"], 1e-30))
+    return out
+
+
 def dump_examples(examples, outdir, tag):
     from genre_shapehd_tpu.ops.voxel import surface_from_solid_np
     os.makedirs(outdir, exist_ok=True)
@@ -169,7 +208,7 @@ def main():
                          "here because the spherical renderer is "
                          "differentiable, unlike the reference's ray-cast "
                          "test path, util_sph.py:36-57)")
-    ap.add_argument("--w25d", type=float, default=1.0,
+    ap.add_argument("--w25d", type=float, default=0.01,
                     help="--joint_w25d for stage 2: weight on the 2.5D "
                          "supervision relative to the voxel loss")
     ap.add_argument("--lr2", type=float, default=None,
@@ -199,6 +238,17 @@ def main():
     ap.add_argument("--skip0", action="store_true",
                     help="reuse an existing stage-0 checkpoint "
                          "(<logdir>/net1.pt) instead of retraining")
+    ap.add_argument("--offline", action="store_true",
+                    help="oracle-ceiling decomposition cell: --load_offline "
+                         "everywhere -- net2 inpaints the GT full spherical "
+                         "map instead of the rendered partial one, so the "
+                         "result isolates inpaint-fidelity + sph-bp + refine "
+                         "(removes the render-partial inpainting task)")
+    ap.add_argument("--gtsph", action="store_true",
+                    help="oracle-ceiling decomposition cell: --gt_sph_full "
+                         "-- the refine net backprojects the GT spherical "
+                         "map directly (no inpainting net at all), "
+                         "isolating sph-bp + refine; stage 1 is skipped")
     args = ap.parse_args()
 
     if args.cpu:
@@ -218,6 +268,7 @@ def main():
              padding_margin=16)
     common = dict(batch_size=args.batch, lr=args.lr,
                   gt_depth_input=not args.full_pipeline,
+                  load_offline=args.offline,
                   procedural_length=args.train_n, workers=args.workers,
                   dtype="bfloat16", log_every=8, **dims)
     os.makedirs(args.logdir, exist_ok=True)
@@ -229,7 +280,8 @@ def main():
                          "init0": args.init0, "lr0": args.lr0,
                          "lr0b": args.lr0b, "init2": args.init2,
                          "joint2": args.joint2, "w25d": args.w25d,
-                         "lr2": args.lr2,
+                         "lr2": args.lr2, "offline": args.offline,
+                         "gtsph": args.gtsph,
                          "full_pipeline": args.full_pipeline}}
 
     import jax
@@ -284,7 +336,10 @@ def main():
 
     # ---------------------------------------------- stage 1: inpainting
     ckpt1 = os.path.join(args.logdir, "inpaint.pt")
-    if args.skip1 and os.path.exists(ckpt1):
+    if args.gtsph:
+        report["stage1"] = {"reused": "skipped (--gtsph bypasses net2)"}
+        print("[qualrun] stage1 skipped (--gtsph)")
+    elif args.skip1 and os.path.exists(ckpt1):
         report["stage1"] = {"reused": ckpt1}
         print(f"[qualrun] stage1 reused: {ckpt1}")
     else:
@@ -312,6 +367,7 @@ def main():
 
     # ------------------------------- untrained baseline (fresh genre net)
     common2 = dict(common, joint_train=args.joint2, joint_w25d=args.w25d,
+                   gt_sph_full=args.gtsph,
                    lr=args.lr2 if args.lr2 is not None else args.lr)
     opt2 = default_opt(**common2, inpaint_path=None)
     model2, trainer2, tl2, vl2 = build("genre_full_model", opt2)
@@ -327,10 +383,15 @@ def main():
         # a full-genre checkpoint of a previous run
         trainer2.load(args.init2)
         trainer2.start_epoch = 0
-    else:
+    elif not args.gtsph:                  # --gtsph never runs net2
         trainer2.state = model2.load_subnet(trainer2.state,
                                             "depth_and_inpaint", ckpt1)
         trainer2.state = pmesh.replicate_state(trainer2.state, trainer2.mesh)
+    if args.joint2:
+        probe = probe_joint_grad_split(model2, trainer2, tl2)
+        report["joint_grad_split"] = probe
+        print(f"[qualrun] joint grad split at stage-2 start: "
+              f"{json.dumps(probe)}", flush=True)
     spe = min(100, args.steps2)
     log2 = trainer2.fit(tl2, vl2, epochs=max(args.steps2 // spe, 1),
                         steps_per_epoch=spe, eval_batches=2,

@@ -10,18 +10,28 @@ Chamfer distance against an untrained baseline:
   stage A  marrnet2 (--canon_sup): GT 2.5D sketches -> 128^3 voxels
            (/root/reference/models/marrnet2.py)
   stage B  wgangp: 3D-WGAN-GP shape prior on canonical voxels
-           (/root/reference/models/wgangp.py)
+           (/root/reference/models/wgangp.py), with a critic-separation
+           probe (D(real) vs D(G(z)) vs D(marrnet2 output)) every few
+           epochs -- the committed evidence that the prior itself works
   stage C  shapehd: finetune the stage-A net with the frozen stage-B
            critic as a perceptual loss (/root/reference/models/shapehd.py
-           :67-79), reference default w_gan_loss
-           (scripts/finetune_shapehd.sh:40)
+           :67-79).  The critic weight sweep accepts plain floats, the
+           reference default 1e-3 (scripts/finetune_shapehd.sh:28), 0 as
+           a continued-supervision control, and ``auto:R`` which anchors
+           the critic's arbitrary Wasserstein scale by choosing w so the
+           gan/sup gradient-norm ratio at stage-C start equals R.
+           Per-epoch held-out IoU is tracked and the best-IoU state is
+           kept (the reference keeps best.pt on eval loss,
+           loggers.py:274-297; eval loss here contains the gameable
+           critic term, so IoU -- the procedural benchmark's luxury --
+           is the honest selector).
 
 Unlike the GenRe qualrun (surface-shell IoU, the training target of
 genre_full_model.py:93-95), MarrNet-2/ShapeHD are supervised on SOLID
 occupancy grids (marrnet2.py:81-85), so IoU here is against the solid GT.
 
 Usage (full-scale, on the TPU chip):
-  python tools/qualrun_shapehd.py --logdir /tmp/qualshd --out QUALRUN_SHAPEHD_r04.md
+  python tools/qualrun_shapehd.py --logdir /tmp/qualshd --out QUALRUN_SHAPEHD_r05.md
 Smoke (CPU, tiny):
   python tools/qualrun_shapehd.py --tiny --cpu --steps_m2 40 --steps_gan 20 \
       --steps_shd 20 --train_n 32 --logdir /tmp/qshd
@@ -38,6 +48,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 THRESHOLDS = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7)
+
+
+def _rows(x, true_n):
+    """Undo shard_batch's uniform-repetition padding (mesh.py:85-114).
+
+    Padding interleaves ``np.repeat(x, r, axis=0)``; the first ``true_n``
+    rows of a padded batch are NOT the original samples, every r-th row
+    is."""
+    x = np.asarray(x)
+    r = max(x.shape[0] // true_n, 1)
+    return x[::r][:true_n]
 
 
 def build(net, opt):
@@ -67,11 +88,35 @@ def build(net, opt):
     return model, trainer, tl, vl
 
 
-def eval_quality(model, trainer, vl, voxel_key, max_batches=None, tag=""):
+def run_epochs(trainer, tl, vl, steps, rng, eval_batches=2, on_epoch=None):
+    """Explicit epoch loop (Trainer.fit unrolled) so callers can probe
+    between epochs."""
+    from genre_shapehd_tpu.data.loader import InfiniteLoader
+
+    spe = min(100, steps)
+    epochs = max(steps // spe, 1)
+    trainer.logger.set_params({
+        "epoch": epochs, "steps_per_epoch": spe,
+        "steps_per_eval": eval_batches, "metrics": trainer.model.metrics})
+    trainer.logger.on_train_begin()
+    it = InfiniteLoader(tl)
+    last = {}
+    for e in range(1, epochs + 1):
+        last = trainer.train_epoch_pair(e, it, vl, spe, eval_batches, rng)
+        if on_epoch is not None:
+            on_epoch(e, last)
+    trainer.logger.on_train_end()
+    return last
+
+
+def eval_quality(model, trainer, vl, voxel_key, max_batches=None, tag="",
+                 with_chamfer=True, quiet=False):
     """Held-out solid-voxel IoU (pred>th vs GT occupancy) and Chamfer
     distance (tools/eval_chamfer.py protocol)."""
     import jax
-    from tools.eval_chamfer import chamfer_between_voxels
+
+    if with_chamfer:
+        from tools.eval_chamfer import chamfer_between_voxels
 
     inter = {t: 0.0 for t in THRESHOLDS}
     union = {t: 0.0 for t in THRESHOLDS}
@@ -86,18 +131,19 @@ def eval_quality(model, trainer, vl, voxel_key, max_batches=None, tag=""):
         metrics, pred = trainer._eval_step(trainer.state, dev_batch,
                                            jax.random.PRNGKey(9))
         jax.block_until_ready((metrics, pred))
-        true_n_r = rest["_true_size"]
+        true_n = rest["_true_size"]
         if isinstance(pred, dict):          # shapehd returns a dict
             # critic scores = the finetune's realism objective
             if "is_real" in pred:
-                realism += list(np.asarray(
-                    pred["is_real"], np.float32).reshape(-1)[:true_n_r])
+                realism += list(_rows(
+                    np.asarray(pred["is_real"], np.float32), true_n)
+                    .reshape(-1))
             if "is_real_noft" in pred:
-                realism_noft += list(np.asarray(
-                    pred["is_real_noft"], np.float32).reshape(-1)[:true_n_r])
+                realism_noft += list(_rows(
+                    np.asarray(pred["is_real_noft"], np.float32), true_n)
+                    .reshape(-1))
             pred = pred.get("pred_voxel", pred.get("voxel"))
-        true_n = rest["_true_size"]
-        logits = np.asarray(pred)[:true_n].astype(np.float32)
+        logits = _rows(pred, true_n).astype(np.float32)
         gt_solid = np.asarray(batch[voxel_key])[:true_n] > 0.5
         prob = 1.0 / (1.0 + np.exp(-logits))
         for i in range(true_n):
@@ -105,7 +151,7 @@ def eval_quality(model, trainer, vl, voxel_key, max_batches=None, tag=""):
                 p = prob[i] > t
                 inter[t] += float((p & gt_solid[i]).sum())
                 union[t] += float((p | gt_solid[i]).sum())
-            if n_items < 16:
+            if with_chamfer and n_items < 16:
                 chamfers.append(chamfer_between_voxels(
                     logits[i], gt_solid[i].astype(np.float32), th=0.25,
                     use_sigmoid=True, n_points=1024, seed=i))
@@ -126,17 +172,22 @@ def eval_quality(model, trainer, vl, voxel_key, max_batches=None, tag=""):
         res["critic_score"] = float(np.mean(realism))
     if realism_noft:
         res["critic_score_noft"] = float(np.mean(realism_noft))
-    print(f"[qualshd] {tag}: "
-          f"{json.dumps({k: v for k, v in res.items() if k != 'iou_by_th'})}")
+    if not quiet:
+        print(f"[qualshd] {tag}: "
+              f"{json.dumps({k: v for k, v in res.items() if k != 'iou_by_th'})}",
+              flush=True)
     return res, examples
 
 
 def probe_grad_split(model, trainer, loader):
     """L2 norms of the supervised vs GAN gradients w.r.t. the finetuned
-    net at stage-C start — quantifies how strongly the critic term steers
-    the Adam update direction relative to the BCE anchor."""
+    net at stage-C start -- quantifies how strongly the critic term steers
+    the Adam update direction relative to the BCE anchor.  The gan norm is
+    reported both at the model's current w_gan_loss and per unit weight
+    (for deriving an anchored w)."""
     import jax
     import jax.numpy as jnp
+    from genre_shapehd_tpu.train.loop import decompress_batch
 
     batch = next(iter(loader))
     dev_batch, _ = trainer._device_batch(batch)
@@ -145,40 +196,84 @@ def probe_grad_split(model, trainer, loader):
     def part(net_params, which):
         params = dict(state.params)
         params["net"] = net_params
-        pred, _ = model._forward_all(params, state.batch_stats,
-                                     dev_batch, True)
+        db = decompress_batch(dev_batch)   # wire-compressed -> f32 (ADVICE r04)
+        pred, _ = model._forward_all(params, state.batch_stats, db, True)
         sup = model.bce_with_logits(pred["voxel"].astype(jnp.float32),
-                                    dev_batch[model.voxel_key])
-        gan = -jnp.mean(pred["is_real"]) * model.w_gan_loss
+                                    db[model.voxel_key])
+        gan = -jnp.mean(pred["is_real"])   # per unit w_gan_loss
         return sup if which == "sup" else gan
 
-    def norm(tree):
-        return float(jnp.sqrt(sum(
-            jnp.vdot(x, x).real for x in jax.tree.leaves(tree))))
+    @jax.jit
+    def norms(params):
+        out = {}
+        for which in ("sup", "gan"):
+            g = jax.grad(lambda p: part(p, which))(params)
+            out[which] = jnp.sqrt(sum(
+                jnp.vdot(x, x).real for x in jax.tree.leaves(g)))
+        return out
 
-    out = {}
-    for which in ("sup", "gan"):
-        g = jax.grad(lambda p: part(p, which))(state.params["net"])
-        out[f"grad_norm_{which}"] = norm(g)
+    res = jax.device_get(norms(state.params["net"]))
+    out = {f"grad_norm_{k}": float(v) for k, v in res.items()}
+    out["grad_norm_gan_unit"] = out["grad_norm_gan"]
+    out["grad_norm_gan"] *= model.w_gan_loss
     out["gan_over_sup"] = out["grad_norm_gan"] / max(out["grad_norm_sup"],
                                                      1e-30)
+    out["gan_over_sup_unit"] = out["grad_norm_gan_unit"] / max(
+        out["grad_norm_sup"], 1e-30)
     return out
 
 
-def dump_examples(examples, outdir, tag):
+def critic_separation(model_b, trainer_b, real_vox, m2_prob, rng_seed=11):
+    """Critic scores on real voxels, fresh G(z) samples, and cached
+    marrnet2 outputs -- the prior's separation evidence
+    (wgangp.py:166-181 uses only -D(G(z)) as eval)."""
+    import jax
+    import jax.numpy as jnp
+
+    p = trainer_b.state.params
+    bs = trainer_b.state.batch_stats
+
+    def d(x):
+        return np.asarray(model_b._d_apply(
+            p["net_d"], jnp.asarray(np.asarray(x, np.float32))))
+
+    z = jax.random.normal(jax.random.PRNGKey(rng_seed),
+                          (real_vox.shape[0], model_b.nz))
+    gen, _ = model_b._generate(p["net_g"], bs["net_g"], z)
+    gen = np.asarray(gen, np.float32)
+    return {"d_real": float(np.mean(d(real_vox))),
+            "d_gz": float(np.mean(d(gen))),
+            "d_m2": float(np.mean(d(m2_prob)))}, gen
+
+
+def snapshot_state(trainer):
+    import jax
+    return jax.device_get(trainer.state)
+
+
+def restore_state(trainer, host_state):
+    from genre_shapehd_tpu.parallel import mesh as pmesh
+    trainer.state = pmesh.replicate_state(host_state, trainer.mesh)
+
+
+def dump_examples(examples, outdir, tag, already_prob=False):
     os.makedirs(outdir, exist_ok=True)
     for i, (logits, gt_solid) in enumerate(examples):
-        np.savez_compressed(
-            os.path.join(outdir, f"{tag}_{i}.npz"),
-            pred_logits=logits.astype(np.float16),
-            gt_solid=gt_solid.astype(np.uint8))
+        payload = {"pred_logits": logits.astype(np.float16)}
+        if gt_solid is not None:
+            payload["gt_solid"] = gt_solid.astype(np.uint8)
+        np.savez_compressed(os.path.join(outdir, f"{tag}_{i}.npz"),
+                            **payload)
         try:
             from genre_shapehd_tpu.viz.mcubes import marching_cubes
             from genre_shapehd_tpu.viz.visualizer import write_obj
-            prob = 1.0 / (1.0 + np.exp(-logits.astype(np.float32)))
-            for name, vol, th in ((f"{tag}_{i}_pred", prob, 0.25),
-                                  (f"{tag}_{i}_gt",
-                                   gt_solid.astype(np.float32), 0.5)):
+            prob = logits.astype(np.float32) if already_prob else \
+                1.0 / (1.0 + np.exp(-logits.astype(np.float32)))
+            packs = [(f"{tag}_{i}_pred", prob, 0.25)]
+            if gt_solid is not None:
+                packs.append((f"{tag}_{i}_gt",
+                              gt_solid.astype(np.float32), 0.5))
+            for name, vol, th in packs:
                 verts, faces = marching_cubes(vol, th)
                 if len(faces):
                     write_obj(os.path.join(outdir, name + ".obj"),
@@ -191,7 +286,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps_m2", type=int, default=3000,
                     help="marrnet2 pretrain steps (stage A)")
-    ap.add_argument("--steps_gan", type=int, default=3000,
+    ap.add_argument("--steps_gan", type=int, default=6000,
                     help="wgangp prior steps (stage B)")
     ap.add_argument("--steps_shd", type=int, default=1000,
                     help="shapehd finetune steps (stage C)")
@@ -200,10 +295,13 @@ def main():
     ap.add_argument("--lr_gan", type=float, default=1e-4,
                     help="stage-B lr (train_wgangp.sh)")
     ap.add_argument("--lr_shd", type=float, default=1e-4,
-                    help="stage-C lr (finetune_shapehd.sh)")
-    ap.add_argument("--w_gan_loss", type=str, default="1e-3",
-                    help="critic loss weight (finetune_shapehd.sh:40); a "
-                         "comma list sweeps stage C, first value is primary")
+                    help="stage-C lr (finetune_shapehd.sh uses 1e-3; 1e-4 "
+                         "is gentler for a 1000-step finetune)")
+    ap.add_argument("--w_gan_loss", type=str, default="auto:0.25,0,1e-3",
+                    help="critic-weight sweep for stage C: floats, 0 "
+                         "(continued-supervision control), or auto:R "
+                         "(anchor gan/sup grad ratio to R).  First value "
+                         "is primary")
     ap.add_argument("--gan_d_iter", type=int, default=1)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--train_n", type=int, default=512,
@@ -216,6 +314,10 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the 8-device virtual CPU platform")
     ap.add_argument("--eval_batches", type=int, default=None)
+    ap.add_argument("--traj_batches", type=int, default=4,
+                    help="eval batches for the per-epoch stage-C IoU probe")
+    ap.add_argument("--sep_every", type=int, default=5,
+                    help="stage-B epochs between critic-separation probes")
     ap.add_argument("--skip_m2", action="store_true",
                     help="reuse <logdir>/marrnet2.pt")
     ap.add_argument("--skip_gan", action="store_true",
@@ -269,11 +371,8 @@ def main():
         print(f"[qualshd] stageA reused: {ckpt_m2}")
     else:
         t0 = time.time()
-        spe = min(100, args.steps_m2)
-        log_a = trainer_a.fit(tl_a, vl_a,
-                              epochs=max(args.steps_m2 // spe, 1),
-                              steps_per_epoch=spe, eval_batches=2,
-                              rng=jax.random.PRNGKey(3))
+        log_a = run_epochs(trainer_a, tl_a, vl_a, args.steps_m2,
+                           jax.random.PRNGKey(3))
         trainer_a.save(ckpt_m2, epoch=args.steps_m2)
         report["stageA"] = {
             "final_log": {k: float(v) for k, v in log_a.items()},
@@ -286,27 +385,52 @@ def main():
                                  tag="marrnet2")
     report["marrnet2"] = m2_res
 
+    # cached probe inputs for the stage-B critic-separation trajectory:
+    # one batch of real solids + the stage-A net's sigmoid outputs on them
+    sep_real = np.stack([gt.astype(np.float32)
+                         for _, gt in m2_ex[:4]])
+    sep_m2 = np.stack([1.0 / (1.0 + np.exp(-lg.astype(np.float32)))
+                       for lg, _ in m2_ex[:4]])
+
     # ----------------------------- stage B: wgangp (train_wgangp.sh)
     ckpt_gan = os.path.join(args.logdir, "wgangp.pt")
+    opt_b = default_opt(**common, lr=args.lr_gan, canon_voxel=True,
+                        gan_d_iter=args.gan_d_iter)
+    model_b, trainer_b, tl_b, vl_b = build("wgangp", opt_b)
+    sep_traj = []
     if args.skip_gan and os.path.exists(ckpt_gan):
+        trainer_b.load(ckpt_gan)
+        trainer_b.start_epoch = 0
         report["stageB"] = {"reused": ckpt_gan}
         print(f"[qualshd] stageB reused: {ckpt_gan}")
     else:
         t0 = time.time()
-        opt_b = default_opt(**common, lr=args.lr_gan, canon_voxel=True,
-                            gan_d_iter=args.gan_d_iter)
-        model_b, trainer_b, tl_b, vl_b = build("wgangp", opt_b)
-        spe = min(100, args.steps_gan)
-        log_b = trainer_b.fit(tl_b, vl_b,
-                              epochs=max(args.steps_gan // spe, 1),
-                              steps_per_epoch=spe, eval_batches=2,
-                              rng=jax.random.PRNGKey(4))
+
+        def on_epoch_b(e, log):
+            if e % max(args.sep_every, 1) == 0:
+                sep, _ = critic_separation(model_b, trainer_b, sep_real,
+                                           sep_m2)
+                sep_traj.append({"epoch": e, "step": e * min(100, args.steps_gan),
+                                 **sep})
+                print(f"[qualshd] stageB sep e{e}: {json.dumps(sep)}",
+                      flush=True)
+
+        log_b = run_epochs(trainer_b, tl_b, vl_b, args.steps_gan,
+                           jax.random.PRNGKey(4), on_epoch=on_epoch_b)
         trainer_b.save(ckpt_gan, epoch=args.steps_gan)
         report["stageB"] = {
             "final_log": {k: float(v) for k, v in log_b.items()},
             "seconds": round(time.time() - t0, 1)}
         print(f"[qualshd] stageB done in {report['stageB']['seconds']}s: "
               f"{log_b}")
+    sep_final, gz_samples = critic_separation(model_b, trainer_b, sep_real,
+                                              sep_m2, rng_seed=12)
+    sep_traj.append({"epoch": -1, "step": args.steps_gan, **sep_final})
+    report["critic_separation"] = sep_traj
+    print(f"[qualshd] stageB final separation: {json.dumps(sep_final)}")
+    dump_examples([(g, None) for g in gz_samples[:3]],
+                  os.path.join(args.logdir, "examples"), "prior_gz",
+                  already_prob=True)
 
     json_path = os.path.join(args.logdir, "qualrun_shapehd.json")
     with open(json_path, "w") as f:                # incremental: A+B done
@@ -314,31 +438,67 @@ def main():
 
     # ------------------------ stage C: shapehd (finetune_shapehd.sh)
     # comma list sweeps the critic weight; first value is the primary run
-    ws = [float(w) for w in str(args.w_gan_loss).split(",")]
     shd_ex = None
-    for wi, w in enumerate(ws):
+    for wi, wtok in enumerate(str(args.w_gan_loss).split(",")):
         t0 = time.time()
+        auto_ratio = None
+        if wtok.startswith("auto"):
+            auto_ratio = float(wtok.split(":")[1]) if ":" in wtok else 0.25
+            w = 1.0                        # placeholder; anchored below
+        else:
+            w = float(wtok)
         opt_c = default_opt(**common, lr=args.lr_shd, canon_sup=True,
                             marrnet2=ckpt_m2, gan=ckpt_gan, w_gan_loss=w)
         model_c, trainer_c, tl_c, vl_c = build("shapehd", opt_c)
         probe = probe_grad_split(model_c, trainer_c, tl_c)
-        print(f"[qualshd] stageC w={w:g} grad split: {json.dumps(probe)}",
-              flush=True)
-        spe = min(100, args.steps_shd)
-        log_c = trainer_c.fit(tl_c, vl_c,
-                              epochs=max(args.steps_shd // spe, 1),
-                              steps_per_epoch=spe, eval_batches=2,
-                              rng=jax.random.PRNGKey(5))
-        trainer_c.save(os.path.join(args.logdir, f"shapehd_w{w:g}.pt"),
-                       epoch=args.steps_shd)
-        stage = {"w_gan_loss": w, "grad_split": probe,
+        if auto_ratio is not None:
+            # anchor the critic's arbitrary Wasserstein scale: pick w so
+            # the gan gradient is auto_ratio of the BCE anchor's at start
+            w = auto_ratio / max(probe["gan_over_sup_unit"], 1e-30)
+            model_c.w_gan_loss = w         # before any step is traced
+            probe["grad_norm_gan"] = probe["grad_norm_gan_unit"] * w
+            probe["gan_over_sup"] = auto_ratio
+        wname = f"{w:g}" if auto_ratio is None else f"auto{auto_ratio:g}"
+        print(f"[qualshd] stageC w={w:g} ({wtok}) grad split: "
+              f"{json.dumps(probe)}", flush=True)
+
+        traj = []
+        best = {"iou": -1.0, "state": None, "epoch": 0}
+
+        def on_epoch_c(e, log):
+            r, _ = eval_quality(model_c, trainer_c, vl_c,
+                                model_c.voxel_key,
+                                max_batches=args.traj_batches,
+                                with_chamfer=False, quiet=True)
+            row = {"epoch": e, "iou_0.5": r["iou_0.5"],
+                   "critic_score": r.get("critic_score"),
+                   "critic_score_noft": r.get("critic_score_noft"),
+                   "sup": float(log.get("sup", float("nan")))}
+            traj.append(row)
+            print(f"[qualshd] stageC w={w:g} e{e}: {json.dumps(row)}",
+                  flush=True)
+            if r["iou_0.5"] > best["iou"]:
+                best.update(iou=r["iou_0.5"], state=snapshot_state(trainer_c),
+                            epoch=e)
+
+        log_c = run_epochs(trainer_c, tl_c, vl_c, args.steps_shd,
+                           jax.random.PRNGKey(5), on_epoch=on_epoch_c)
+        if best["state"] is not None:
+            restore_state(trainer_c, best["state"])
+        ckpt_c = os.path.join(args.logdir, f"shapehd_w{wname}.pt")
+        trainer_c.save(ckpt_c, epoch=args.steps_shd)
+        if wi == 0:                        # canonical name for test_shapehd.sh
+            trainer_c.save(os.path.join(args.logdir, "shapehd.pt"),
+                           epoch=args.steps_shd)
+        stage = {"w_gan_loss": w, "w_token": wtok, "grad_split": probe,
+                 "best_epoch": best["epoch"], "trajectory": traj,
                  "final_log": {k: float(v) for k, v in log_c.items()},
                  "seconds": round(time.time() - t0, 1)}
-        print(f"[qualshd] stageC w={w:g} done in {stage['seconds']}s: "
-              f"{log_c}")
+        print(f"[qualshd] stageC w={w:g} done in {stage['seconds']}s "
+              f"(best IoU epoch {best['epoch']}): {log_c}")
         res, ex = eval_quality(model_c, trainer_c, vl_c, model_c.voxel_key,
                                max_batches=args.eval_batches,
-                               tag=f"shapehd_w{w:g}")
+                               tag=f"shapehd_w{wname}")
         if wi == 0:
             report["stageC"], report["shapehd"], shd_ex = stage, res, ex
         report.setdefault("shapehd_sweep", []).append({**stage, **res})
@@ -358,6 +518,10 @@ def main():
     print("[qualshd] report:", json.dumps(
         {k: report[k] for k in ("untrained", "marrnet2", "shapehd")},
         indent=2))
+
+
+def _fmt(v, spec=".4f", na="n/a"):
+    return format(v, spec) if isinstance(v, (int, float)) and v == v else na
 
 
 def write_markdown(path, report):
@@ -392,7 +556,8 @@ def write_markdown(path, report):
            else f"reused {report['stageB']['reused']}"),
         f"- stage C (shapehd): {cfg['steps_shd']} steps @ lr "
         f"{cfg['lr_shd']}, w_gan_loss {cfg['w_gan_loss']}, "
-        f"{report['stageC']['seconds']}s, final "
+        f"{report['stageC']['seconds']}s, best-IoU state kept "
+        f"(epoch {report['stageC'].get('best_epoch')}), final "
         f"{json.dumps(report['stageC']['final_log'])}",
         f"- held-out scenes: {s['n_items']} (disjoint seed range from "
         f"{cfg['procedural_length']} train scenes)",
@@ -407,32 +572,74 @@ def write_markdown(path, report):
         f"{m['iou_best']:.4f} (th {m['iou_best_th']}) | "
         f"{s['iou_best']:.4f} (th {s['iou_best_th']}) |",
         f"| Chamfer distance (mean of {s['chamfer_n']}) | "
-        f"{u['chamfer_mean']:.4f} | {m['chamfer_mean']:.4f} | "
-        f"{s['chamfer_mean']:.4f} |",
+        f"{_fmt(u['chamfer_mean'])} | {_fmt(m['chamfer_mean'])} | "
+        f"{_fmt(s['chamfer_mean'])} |",
     ]
-    if "critic_score" in s:
+    if "critic_score" in s or "critic_score_noft" in s:
         lines.append(
             f"| critic score (realism, higher=better) | — | "
-            f"{s['critic_score_noft']:.1f} (frozen stage-A net) | "
-            f"{s['critic_score']:.1f} |")
-    sweep = report.get("shapehd_sweep", [])
-    if len(sweep) > 1:
+            f"{_fmt(s.get('critic_score_noft'), '.1f')} "
+            f"(frozen stage-A net) | {_fmt(s.get('critic_score'), '.1f')} |")
+    sep = report.get("critic_separation", [])
+    if sep:
         lines += [
             "",
-            "### Stage-C critic-weight sweep",
+            "## Critic separation during stage B (prior-quality evidence)",
             "",
-            "| w_gan_loss | grad-norm gan/sup at start | IoU @0.5 | "
-            "IoU @best th | Chamfer | critic score (vs frozen "
-            f"{sweep[0].get('critic_score_noft', float('nan')):.1f}) |",
-            "|---|---|---|---|---|---|",
+            "Critic scores on one held-out batch: real solids, fresh G(z) "
+            "samples, the frozen stage-A net's outputs.  A healthy prior "
+            "ranks real > marrnet2 > G(z) early and narrows real-vs-G(z) "
+            "as G improves; `examples/prior_gz_*.obj` are G(z) sample "
+            "meshes.",
+            "",
+            "| step | D(real) | D(G(z)) | D(marrnet2(x)) |",
+            "|---|---|---|---|",
+        ]
+        for row in sep:
+            tag = f"{row['step']}" + (" (final)" if row["epoch"] < 0 else "")
+            lines.append(f"| {tag} | {row['d_real']:.1f} | "
+                         f"{row['d_gz']:.1f} | {row['d_m2']:.1f} |")
+    sweep = report.get("shapehd_sweep", [])
+    if sweep:
+        lines += [
+            "",
+            "## Stage-C critic-weight sweep",
+            "",
+            "`auto:R` anchors the critic's arbitrary Wasserstein scale: w "
+            "is chosen so the gan/sup gradient-norm ratio at stage-C start "
+            "is R.  w=0 is the continued-supervision control (same extra "
+            "steps, no critic).  Each variant keeps its best-IoU epoch.",
+            "",
+            "| w_gan_loss | grad gan/sup at start | best epoch | IoU @0.5 "
+            "| IoU @best th | Chamfer | critic score |",
+            "|---|---|---|---|---|---|---|",
         ]
         for sw in sweep:
             lines.append(
-                f"| {sw['w_gan_loss']:g} | "
+                f"| {sw.get('w_token', sw['w_gan_loss'])} "
+                f"(={sw['w_gan_loss']:.2g}) | "
                 f"{sw['grad_split']['gan_over_sup']:.2f} | "
+                f"{sw.get('best_epoch')} | "
                 f"{sw['iou_0.5']:.4f} | {sw['iou_best']:.4f} "
-                f"(th {sw['iou_best_th']}) | {sw['chamfer_mean']:.4f} | "
-                f"{sw.get('critic_score', float('nan')):.1f} |")
+                f"(th {sw['iou_best_th']}) | {_fmt(sw['chamfer_mean'])} | "
+                f"{_fmt(sw.get('critic_score'), '.1f')} |")
+        prim = sweep[0]
+        if prim.get("trajectory"):
+            lines += [
+                "",
+                "### Primary-variant stage-C trajectory (held-out IoU / "
+                "critic score per 100-step epoch)",
+                "",
+                "| epoch | IoU @0.5 | critic(ft) | critic(frozen) | sup "
+                "loss |",
+                "|---|---|---|---|---|",
+            ]
+            for row in prim["trajectory"]:
+                lines.append(
+                    f"| {row['epoch']} | {row['iou_0.5']:.4f} | "
+                    f"{_fmt(row.get('critic_score'), '.1f')} | "
+                    f"{_fmt(row.get('critic_score_noft'), '.1f')} | "
+                    f"{_fmt(row.get('sup'))} |")
     lines += [
         "",
         "IoU is against the SOLID GT occupancy grid (the MarrNet-2/ShapeHD "
