@@ -53,7 +53,7 @@ def default_opt(**overrides) -> SimpleNamespace:
         output_dir=None, backbone_init=None, sp=1, exact_render=False,
         gt_depth_input=False, procedural_length=512, procedural_max_prims=4,
         augment=True, no_aug=False, f32_heads=False, decoder_width=1.0,
-        gt_sph_full=False,
+        gt_sph_full=False, gt_minmax_input=False,
     )
     base.update(overrides)
     return SimpleNamespace(**base)

@@ -50,6 +50,12 @@ class DepthInpaintNet(fnn.Module):
     #: data-side analog of the reference's --load_offline precomputed
     #: spherical inputs, depth_pred_with_sph_inpaint.py:121-123)
     gt_depth_input: bool = False
+    #: decomposition oracle: keep net1's PREDICTED depth map but replace
+    #: the scalar depth-minmax with GT -- isolates how much of the
+    #: no-oracle quality gap is the minmax head's absolute-scale error
+    #: (a dmin/dmax error radially displaces the whole backprojected
+    #: shell by err/ (1/vox_res) voxels)
+    gt_minmax_input: bool = False
     #: net1 ablation knobs (must match the loaded net1 checkpoint)
     net1_width: float = 1.0
     net1_head_dtype: jnp.dtype = None
@@ -83,6 +89,9 @@ class DepthInpaintNet(fnn.Module):
         if self.gt_depth_input and gt_depth is not None:
             out1 = dict(out1)
             out1["depth"] = jax.lax.stop_gradient(gt_depth)
+            out1["depth_minmax"] = jax.lax.stop_gradient(gt_minmax)
+        elif self.gt_minmax_input and gt_minmax is not None:
+            out1 = dict(out1)
             out1["depth_minmax"] = jax.lax.stop_gradient(gt_minmax)
         abs_depth = self.get_abs_depth(out1, silhou)
         proj = ops.camera_backproject_shifted(
@@ -129,6 +138,10 @@ class Model(DepthModel):
         parser.add_argument("--gt_depth_input", action="store_true",
                             help="oracle mode: feed GT depth/minmax into "
                                  "the geometry chain (quality benchmark)")
+        parser.add_argument("--gt_minmax_input", action="store_true",
+                            help="oracle split: predicted depth map + GT "
+                                 "scalar minmax (isolates the minmax "
+                                 "head's absolute-scale error)")
         parser.add_argument("--f32_heads", action="store_true",
                             help="net1 decoders/heads in float32 over the "
                                  "bf16 encoder (must match the net1 ckpt)")
@@ -145,6 +158,7 @@ class Model(DepthModel):
         super().__init__(opt)
         self.joint_train = bool(getattr(opt, "joint_train", False))
         self.gt_depth_input = bool(getattr(opt, "gt_depth_input", False))
+        self.gt_minmax_input = bool(getattr(opt, "gt_minmax_input", False))
         if self.joint_train:
             self.requires = ["rgb", "depth", "silhou", "normal",
                              "depth_minmax", "spherical"]
@@ -160,6 +174,8 @@ class Model(DepthModel):
             for key in ("depth", "depth_minmax"):
                 if key not in self.requires:
                     self.requires = self.requires + [key]
+        if self.gt_minmax_input and "depth_minmax" not in self.requires:
+            self.requires = self.requires + ["depth_minmax"]
         self.input_names = ["rgb", "silhou", "spherical_depth"]
         self.net = DepthInpaintNet(
             im_size=opt.im_size, vox_res=opt.vox_res, sph_res=opt.sph_res,
@@ -168,6 +184,7 @@ class Model(DepthModel):
             load_offline=bool(getattr(opt, "load_offline", False)),
             exact_render=bool(getattr(opt, "exact_render", False)),
             gt_depth_input=self.gt_depth_input,
+            gt_minmax_input=self.gt_minmax_input,
             net1_width=float(getattr(opt, "decoder_width", 1.0)),
             net1_head_dtype=(jnp.float32
                              if getattr(opt, "f32_heads", False) else None),
@@ -214,6 +231,8 @@ class Model(DepthModel):
             kwargs["spherical_depth"] = batch.get("spherical_depth")
         if self.net.gt_depth_input:
             kwargs["gt_depth"] = batch.get("depth")
+            kwargs["gt_minmax"] = batch.get("depth_minmax")
+        elif getattr(self.net, "gt_minmax_input", False):
             kwargs["gt_minmax"] = batch.get("depth_minmax")
         if getattr(self.net, "gt_sph_full", False):
             kwargs["gt_sph"] = batch.get("spherical_object")

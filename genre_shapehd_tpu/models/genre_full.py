@@ -45,6 +45,7 @@ class GenreNet(fnn.Module):
     #: spherical-bp + refine (the last two stages of
     #: genre_full_model.py:134-143)
     gt_sph_full: bool = False
+    gt_minmax_input: bool = False
     net1_width: float = 1.0
     net1_head_dtype: jnp.dtype = None
     refine_nf: int = 20
@@ -57,6 +58,7 @@ class GenreNet(fnn.Module):
             joint_train=self.joint_train, load_offline=self.load_offline,
             exact_render=self.exact_render,
             gt_depth_input=self.gt_depth_input,
+            gt_minmax_input=self.gt_minmax_input,
             net1_width=self.net1_width,
             net1_head_dtype=self.net1_head_dtype, dtype=self.dtype)
         self.refine_net = UNet3D(nf=self.refine_nf, res=self.vox_res,
@@ -130,6 +132,9 @@ class Model(DepthInpaintModel):
             self.requires = ["rgb", "silhou", "voxel"]
             if self.gt_depth_input:
                 self.requires = self.requires + ["depth", "depth_minmax"]
+            if self.gt_minmax_input \
+                    and "depth_minmax" not in self.requires:
+                self.requires = self.requires + ["depth_minmax"]
             if getattr(opt, "load_offline", False) \
                     or getattr(opt, "gt_sph_full", False):
                 # decomposition oracles need the GT spherical maps in-batch
@@ -146,6 +151,7 @@ class Model(DepthInpaintModel):
             exact_render=bool(getattr(opt, "exact_render", False)),
             gt_depth_input=self.gt_depth_input,
             gt_sph_full=bool(getattr(opt, "gt_sph_full", False)),
+            gt_minmax_input=self.gt_minmax_input,
             net1_width=float(getattr(opt, "decoder_width", 1.0)),
             net1_head_dtype=(jnp.float32
                              if getattr(opt, "f32_heads", False) else None),

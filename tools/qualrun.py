@@ -244,6 +244,20 @@ def main():
                          "map instead of the rendered partial one, so the "
                          "result isolates inpaint-fidelity + sph-bp + refine "
                          "(removes the render-partial inpainting task)")
+    ap.add_argument("--gtminmax", action="store_true",
+                    help="oracle split for --full_pipeline: net1's "
+                         "PREDICTED depth map but GT scalar minmax -- "
+                         "isolates the minmax head's absolute-scale error "
+                         "(a dmin error radially displaces the whole "
+                         "backprojected shell)")
+    ap.add_argument("--f32_heads", action="store_true",
+                    help="net1 decoders/heads in f32 (must match the net1 "
+                         "checkpoint; see tools/ablate_net1.py)")
+    ap.add_argument("--decoder_width", type=float, default=1.0,
+                    help="net1 decoder width multiplier (must match the "
+                         "net1 checkpoint)")
+    ap.add_argument("--no_aug", action="store_true",
+                    help="disable photometric augmentation in every stage")
     ap.add_argument("--gtsph", action="store_true",
                     help="oracle-ceiling decomposition cell: --gt_sph_full "
                          "-- the refine net backprojects the GT spherical "
@@ -269,6 +283,9 @@ def main():
     common = dict(batch_size=args.batch, lr=args.lr,
                   gt_depth_input=not args.full_pipeline,
                   load_offline=args.offline,
+                  gt_minmax_input=args.gtminmax,
+                  f32_heads=args.f32_heads, decoder_width=args.decoder_width,
+                  no_aug=args.no_aug,
                   procedural_length=args.train_n, workers=args.workers,
                   dtype="bfloat16", log_every=8, **dims)
     os.makedirs(args.logdir, exist_ok=True)
@@ -281,7 +298,7 @@ def main():
                          "lr0b": args.lr0b, "init2": args.init2,
                          "joint2": args.joint2, "w25d": args.w25d,
                          "lr2": args.lr2, "offline": args.offline,
-                         "gtsph": args.gtsph,
+                         "gtsph": args.gtsph, "gtminmax": args.gtminmax,
                          "full_pipeline": args.full_pipeline}}
 
     import jax
